@@ -1,0 +1,171 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure-Python cores.
+
+BASELINE.json input_hint mandates "vectorized pandas/Arrow UDFs (no
+per-row Python) throughout": every UDF here is a ``pandas_udf``
+operating on whole Series per Arrow batch. Anything expressible with
+JVM built-ins (md5/sha2, concat, rlike, ...) is NOT here — use
+``pyspark.sql.functions`` directly so it stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pycrawler_spark import htmlkit, textkit, urlkit
+
+# --- URL struct type (X2/X3 accessors as one struct column) --------------
+
+URL_STRUCT = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("netloc", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("query", T.StringType()),
+        T.StructField("fragment", T.StringType()),
+        T.StructField("fld", T.StringType()),
+        T.StructField("suffix", T.StringType()),
+        T.StructField("origin", T.StringType()),
+        T.StructField("url_full", T.StringType()),
+    ]
+)
+
+_URL_FIELDS = [f.name for f in URL_STRUCT.fields]
+
+
+def _parse_one(u: Optional[str]):
+    p = urlkit.parse_url(u) if u is not None else None
+    if p is None:
+        return (None,) * len(_URL_FIELDS)
+    return (
+        p.scheme, p.netloc, p.host, p.path, p.query, p.fragment, p.fld,
+        p.suffix, urlkit.url_origin(p), urlkit.url_str_with_query_fragment(p),
+    )
+
+
+@pandas_udf(URL_STRUCT)
+def parse_url_udf(urls: pd.Series) -> pd.DataFrame:
+    """X2 get_tld_object + X3 accessors (utils.py:37-41, 68-87)."""
+    rows = [_parse_one(u) for u in urls]
+    return pd.DataFrame(rows, columns=_URL_FIELDS)
+
+
+@pandas_udf(T.StringType())
+def normalize_url_udf(urls: pd.Series) -> pd.Series:
+    """X1 normalize_url with defaults (query=True, fragment=False) —
+    the URL-seen key (utils.py:43-66, database.py:287-291)."""
+    return urls.map(lambda u: urlkit.normalize_url(u) if u is not None else None)
+
+
+@pandas_udf(URL_STRUCT)
+def join_href_udf(base_urls: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+    """X4 get_url_from_href (utils.py:89-94): urljoin against the page
+    URL (with query+fragment), then parse/PSL-validate."""
+    rows = []
+    for base, href in zip(base_urls, hrefs):
+        p = urlkit.parse_url(base) if base is not None else None
+        r = urlkit.url_from_href(href, p) if p is not None else None
+        if r is None:
+            rows.append((None,) * len(_URL_FIELDS))
+        else:
+            rows.append(
+                (
+                    r.scheme, r.netloc, r.host, r.path, r.query, r.fragment,
+                    r.fld, r.suffix, urlkit.url_origin(r),
+                    urlkit.url_str_with_query_fragment(r),
+                )
+            )
+    return pd.DataFrame(rows, columns=_URL_FIELDS)
+
+
+# --- HTML extraction UDFs (F1, X9, M4, M5) -------------------------------
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs_udf(html: pd.Series) -> pd.Series:
+    """F1 link extraction: a[href] values in document order
+    (modules/CollectUrls.py:60-77)."""
+    return html.map(htmlkit.extract_hrefs)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_meta_udf(html: pd.Series) -> pd.Series:
+    """X9 meta http-equiv tags (modules/SaveURL.py:35-38)."""
+    return html.map(htmlkit.extract_meta_http_equiv)
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Visible-text extraction — byte-identical invariant surface."""
+    return html.map(htmlkit.extract_text)
+
+
+@pandas_udf(T.BooleanType())
+def login_form_udf(html: pd.Series) -> pd.Series:
+    """M4 FindLoginForms static detection (FindLoginForms.py:88-181)."""
+    return html.map(htmlkit.detect_login_form)
+
+
+@pandas_udf(T.BooleanType())
+def cookie_banner_udf(html: pd.Series) -> pd.Series:
+    """M5 AcceptCookies keyword detection (AcceptCookies.py:19-25,86-110)."""
+    return html.map(htmlkit.detect_cookie_banner)
+
+
+# --- text UDFs (X5, X6, training-data ops) --------------------------------
+
+@pandas_udf(T.StringType())
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    """X5 tokenize (utils.py:230-251)."""
+    return text.map(lambda t: textkit.tokenize(t) if t is not None else None)
+
+
+@pandas_udf(T.MapType(T.StringType(), T.StringType()))
+def decode_udf(text: pd.Series) -> pd.Series:
+    """X6 multi-codec decode (utils.py:253-314)."""
+    return text.map(lambda t: textkit.decode(t) if t is not None else None)
+
+
+@pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textkit.detect_lang(t) if t is not None else None)
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    # two's-complement into signed int64 for a Spark LongType column
+    def f(t):
+        if t is None:
+            return None
+        v = textkit.simhash64(t.split())
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(f)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def winnow_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textkit.winnow_fingerprint(t) if t is not None else None)
+
+
+# --- JVM-side helpers (kept out of Python on purpose) ----------------------
+
+def det_shuffle_key(col, seed: str):
+    """Deterministic pseudo-shuffle key: md5(seed || url) hex prefix.
+
+    Replaces the reference's unseeded random.shuffle
+    (modules/CollectUrls.py:122-127) with a seeded, reproducible order
+    (SURVEY.md §7). JVM built-in md5 — no Python roundtrip; identical
+    value computable in DuckDB (md5()) and in the parity simulator
+    (hashlib.md5)."""
+    return F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 16)
+
+
+def host_bucket(col, buckets: int):
+    """Stable host -> bucket id for host-hash partitioning (north rule).
+    xxhash64 is a JVM built-in; pmod keeps it non-negative."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")

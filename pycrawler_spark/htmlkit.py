@@ -1,0 +1,229 @@
+"""HTML extraction kit — static-HTML equivalents of the reference's
+per-page DOM operators (SURVEY.md §2.8).
+
+The reference runs a live browser and queries the rendered DOM via
+Playwright locators. In corpus mode there is no browser: these are
+pure functions over the stored ``html: binary`` column, executed
+inside vectorized pandas UDFs. They are intentionally regex/state
+machine based (no bs4/lxml in this container) and deterministic.
+
+Fidelity notes per function document which reference behavior is
+matched and which is approximated (dynamic-DOM behaviors — clicking
+buttons, :visible filters — cannot exist without a browser).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import List, Optional
+
+# --- tag scanning helpers ---------------------------------------------
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPTISH_RE = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", re.S | re.I
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+_A_HREF_RE = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.I | re.S,
+)
+_META_HTTP_EQUIV_RE = re.compile(
+    r"<meta\b[^>]*\bhttp-equiv\s*=[^>]*?/?>", re.I | re.S
+)
+
+_FORM_RE = re.compile(
+    r"<(form|fieldset)\b[^>]*>.*?</\1\s*>", re.I | re.S
+)
+_INPUT_RE = re.compile(r"<input\b[^>]*>", re.I)
+_TYPE_ATTR_RE = re.compile(
+    r"""\btype\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+# clickable elements (utils.py:22-23 CLICKABLES selector, statically):
+_CLICKABLE_RE = re.compile(
+    r"<(button|a|input|div|span)\b[^>]*>(?:(?!</?(?:button|a|input|div|span)\b).)*?</\1\s*>"
+    r"|<input\b[^>]*>",
+    re.I | re.S,
+)
+
+
+def to_text(html: "bytes | str | None") -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def _strip_nontext(doc: str) -> str:
+    doc = _COMMENT_RE.sub(" ", doc)
+    doc = _SCRIPTISH_RE.sub(" ", doc)
+    return doc
+
+
+# --- F1: link extraction (modules/CollectUrls.py:60-77) ----------------
+
+def extract_hrefs(html: "bytes | str | None") -> List[str]:
+    """All ``a[href]`` attribute values in document order.
+
+    Matches the DOM semantics the reference relies on: the raw
+    attribute value with HTML entities decoded (the browser decodes
+    entities when ``get_attribute('href')`` is read). Anchors inside
+    comments / scripts are excluded (the DOM never materializes them).
+    """
+    doc = _strip_nontext(to_text(html))
+    out: List[str] = []
+    for m in _A_HREF_RE.finditer(doc):
+        raw = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        out.append(_htmllib.unescape(raw))
+    return out
+
+
+# --- X9: meta http-equiv extraction (modules/SaveURL.py:35-38) ----------
+
+def extract_meta_http_equiv(html: "bytes | str | None") -> List[str]:
+    """All ``<meta http-equiv=...>`` tags, as raw tag strings.
+
+    The reference serializes via BeautifulSoup ``str(tag)``
+    (SaveURL.py:36-38); without bs4 we return the verbatim source tag,
+    which is byte-stable for our generated corpus (documented
+    divergence for arbitrary HTML re-serialization).
+    """
+    doc = _strip_nontext(to_text(html))
+    return [m.group(0) for m in _META_HTTP_EQUIV_RE.finditer(doc)]
+
+
+# --- text extraction (the byte-identical invariant surface) -------------
+
+def extract_text(html: "bytes | str | None") -> str:
+    """Deterministic visible-text extraction.
+
+    Rule: drop comments + script/style/noscript/template subtrees,
+    replace every remaining tag with a single space, entity-decode,
+    collapse whitespace runs to one space, strip. The corpus generator
+    embeds a known text body in each page; the engine must recover it
+    byte-identically (BASELINE.json input_hint invariant).
+    """
+    doc = _strip_nontext(to_text(html))
+    doc = _TAG_RE.sub(" ", doc)
+    doc = _htmllib.unescape(doc)
+    return _WS_RE.sub(" ", doc).strip()
+
+
+# --- M4: login-form detection (modules/FindLoginForms.py:88-181) --------
+
+# keyword regexes from FindLoginForms.py:27-31 (Playwright /…/i text
+# selectors expressed as plain re with IGNORECASE):
+LOGIN_KEYWORDS_1 = re.compile(
+    r"log.?in|sign.?in|logge|anmeldung|anmelde|auth|"
+    r"user.?name|e.?mail|nutzer|passwor|account|konto|mitglied",
+    re.I,
+)
+LOGIN_KEYWORDS_2 = re.compile(
+    r"continue|next|weiter|proceed|fortfahren|submit|access|enter|eintragen|zugang",
+    re.I,
+)
+LOGIN_IGNORE = re.compile(r"search|news.?letter|subscribe", re.I)
+
+
+def _input_types(block: str) -> List[str]:
+    types = []
+    for m in _INPUT_RE.finditer(block):
+        t = _TYPE_ATTR_RE.search(m.group(0))
+        if t is None:
+            types.append("")
+        else:
+            types.append(
+                (t.group(2) or t.group(3) or t.group(4) or "").lower()
+            )
+    return types
+
+
+def _verify_login_block(block: str) -> bool:
+    """Static analog of ``verify_login_form`` (FindLoginForms.py:89-130).
+
+    * exactly one password input -> login form;
+    * more than one password, or 0 / >2 text-ish inputs -> not;
+    * else needs a login-keyword clickable and no IGNORE keyword.
+    """
+    types = _input_types(block)
+    passwords = sum(1 for t in types if t == "password")
+    texts = sum(1 for t in types if t in ("email", "text", ""))
+    if passwords == 1:
+        return True
+    if passwords > 1 or texts == 0 or texts > 2:
+        return False
+    has_button = bool(
+        LOGIN_KEYWORDS_1.search(block) or LOGIN_KEYWORDS_2.search(block)
+    )
+    return has_button and LOGIN_IGNORE.search(block) is None
+
+
+def detect_login_form(html: "bytes | str | None") -> bool:
+    """Static approximation of ``_find_login_form``
+    (FindLoginForms.py:132-181): check each form/fieldset block, then
+    fall back to a lone document-level password field. Button-clicking
+    interaction (FindLoginForms.py:183-217) requires a browser and is
+    out of scope in corpus mode (SURVEY.md §2.8 M4).
+    """
+    doc = _strip_nontext(to_text(html))
+    for m in _FORM_RE.finditer(doc):
+        if _verify_login_block(m.group(0)):
+            return True
+    # fallback: password field outside any form block
+    types = _input_types(doc)
+    passwords = sum(1 for t in types if t == "password")
+    texts = sum(1 for t in types if t in ("email", "text", ""))
+    return passwords == 1 and texts <= 2
+
+
+# --- M5: cookie-banner detection (modules/AcceptCookies.py:19-25) --------
+
+COOKIE_KEYWORDS_ENG = re.compile(
+    r"(\W|^)(accept|okay|ok|consent|agree|allow|understand|continue|yes|"
+    r"got.?it|fine)(\W|$)",
+    re.I,
+)
+COOKIE_KEYWORDS_GER = re.compile(
+    r"(\W|^)(stimm|verstanden|versteh|akzeptier|ja(\W|$)|weiter(\W|$)|"
+    r"annehm|bestätig|willig|lasse)",
+    re.I,
+)
+COOKIE_IGNORE = re.compile(r"(\W|^)(no|not|nicht|nein|limit)(\W|$)", re.I)
+# SSO providers (utils.py:25-28)
+SSO = re.compile(
+    r"facebook|twitter|google|yahoo|windows.?live|linked.?in|git.?hub|pay.?pal|amazon|"
+    r"v.?kontakte|yandex|37.?signals|salesforce|fitbit|baidu|ren.?ren|weibo|aol|shopify|"
+    r"word.?press|dwolla|miicard|yammer|sound.?cloud|instagram|the.?city|apple|slack|"
+    r"evernote",
+    re.I,
+)
+
+
+def detect_cookie_banner(html: "bytes | str | None") -> bool:
+    """True when a clickable element carries a cookie-accept keyword
+    (EN first, then DE — AcceptCookies.py:86-94) and is neither an SSO
+    button nor a negative/limiting button (AcceptCookies.py:104-110)."""
+    doc = _strip_nontext(to_text(html))
+    for m in _CLICKABLE_RE.finditer(doc):
+        outer = m.group(0)
+        if SSO.search(outer) or COOKIE_IGNORE.search(outer):
+            continue
+        if COOKIE_KEYWORDS_ENG.search(outer) or COOKIE_KEYWORDS_GER.search(outer):
+            return True
+    return False
+
+
+# --- counts used by A4 (utils.py:106-110) --------------------------------
+
+def count_password_fields(html: "bytes | str | None") -> int:
+    return sum(1 for t in _input_types(_strip_nontext(to_text(html))) if t == "password")
+
+
+def count_forms(html: "bytes | str | None") -> int:
+    return len(_FORM_RE.findall(_strip_nontext(to_text(html))))

@@ -1,0 +1,195 @@
+"""Link discovery — F1-F8 filters + J1 dedup + A1/O4 budget + O5 order.
+
+Two-stage design (SURVEY.md §4 "custom engine code"):
+
+1. **Distributed stage** (:func:`candidate_links`): everything
+   per-row and vectorizable — href extraction (F1), urljoin + PSL
+   parse (F2/X4), scheme/origin/eTLD+1 filters (F3-F5), adult-list
+   anti-join (F7), normalization (X1), deterministic shuffle key.
+   Runs as pandas UDFs + Column expressions over the exploded links;
+   scales with the wave, shuffles only slim columns (html never
+   leaves the fetch stage).
+
+2. **Sequential per-task kernel** (:func:`dedup_budget_kernel`): the
+   reference's intra-site loop state — URL-seen membership
+   (database.py:287-291), MAX_URLS budget burn
+   (CollectUrls.py:139-141: decremented by links *found*, before
+   truncation), FIRST_AND_LAST split + shuffle (CollectUrls.py:119-127)
+   and insertion order — is inherently serial per site. It runs as a
+   ``cogroup(task).applyInPandas`` over (candidates, relevant-seen):
+   per-task work is bounded by one wave's discoveries for that site,
+   and tasks process in parallel — the reference's
+   one-process-per-site parallelism (main.py:123-140), Spark-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from pycrawler_spark.config import CrawlConfig
+from pycrawler_spark.functions.udfs import (
+    extract_hrefs_udf,
+    join_href_udf,
+    normalize_url_udf,
+)
+
+CANDIDATE_COLS = [
+    "task_id", "kind", "parent_seq", "pos", "url", "url_norm", "host", "budget",
+]
+
+KERNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("task_id", T.LongType()),
+        T.StructField("kind", T.StringType()),      # 'self' | 'link'
+        T.StructField("url", T.StringType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("from_url", T.StringType()),
+        T.StructField("order_rank", T.LongType()),
+        T.StructField("inserted", T.BooleanType()),
+    ]
+)
+
+
+def candidate_links(
+    hits: DataFrame,
+    tasks_dim: DataFrame,
+    cfg: CrawlConfig,
+    adult_sites: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed candidate pipeline.
+
+    ``hits``: successfully fetched parents —
+    (task_id, seq, url, url_norm, html).
+    ``tasks_dim``: (task_id, scheme, site, landing_origin, budget) —
+    small, broadcast (J3 FK hydration).
+
+    Returns the kernel input: parent rows (kind='parent', pos=-1) plus
+    surviving link rows (kind='link') with normalized keys.
+    """
+    parents = hits.select(
+        "task_id",
+        F.lit("parent").alias("kind"),
+        F.col("seq").alias("parent_seq"),
+        F.lit(-1).alias("pos"),
+        F.col("url"),
+        F.col("url_norm"),
+        F.lit(None).cast("string").alias("host"),
+    )
+
+    exploded = hits.select(
+        "task_id",
+        F.col("seq").alias("parent_seq"),
+        F.col("url").alias("parent_url"),
+        F.posexplode(extract_hrefs_udf(F.col("html"))).alias("pos", "href"),
+    )
+    parsed = exploded.withColumn(
+        "link", join_href_udf(F.col("parent_url"), F.col("href"))
+    ).filter(F.col("link.url_full").isNotNull())
+
+    j = parsed.join(F.broadcast(tasks_dim), "task_id")
+    if cfg.same_scheme:   # F3 (CollectUrls.py:86-87)
+        j = j.filter(F.col("link.scheme") == F.col("scheme"))
+    if cfg.same_origin:   # F4 (CollectUrls.py:90-91)
+        j = j.filter(F.col("link.origin") == F.col("landing_origin"))
+    if cfg.same_etldp1:   # F5 (CollectUrls.py:94-95)
+        j = j.filter(F.col("link.fld") == F.col("site"))
+    if cfg.adult_filter and adult_sites is not None:  # F7: broadcast anti-join
+        j = j.join(
+            F.broadcast(adult_sites.select(F.col("site").alias("link_fld"))),
+            j["link.fld"] == F.col("link_fld"),
+            "left_anti",
+        )
+
+    links = j.select(
+        "task_id",
+        F.lit("link").alias("kind"),
+        "parent_seq",
+        "pos",
+        F.col("link.url_full").alias("url"),
+        normalize_url_udf(F.col("link.url_full")).alias("url_norm"),
+        F.col("link.host").alias("host"),
+    )
+    budgets = tasks_dim.select("task_id", "budget")
+    return (
+        parents.unionByName(links)
+        .join(F.broadcast(budgets), "task_id")
+        .select(*CANDIDATE_COLS)
+    )
+
+
+def _shuffle_key(seed: str, url: str) -> str:
+    return hashlib.md5((seed + url).encode("utf-8")).hexdigest()[:16]
+
+
+def dedup_budget_kernel(
+    candidates: DataFrame, seen_rel: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Sequential per-task core (see module docstring).
+
+    Emits, per task: kind='self' rows (page self-seen additions,
+    CollectUrls.py:46-49) and kind='link' rows for every *found* link
+    (added to seen whether or not inserted — CollectUrls.py:105-111 vs
+    :131), with ``inserted`` marking budget survivors and
+    ``order_rank`` their insertion order within the wave.
+    """
+    seed = cfg.shuffle_seed
+    first_and_last = cfg.first_and_last
+
+    def kernel(key, cand: pd.DataFrame, seen_pdf: pd.DataFrame) -> pd.DataFrame:
+        task_id = int(key[0])
+        seen = set(seen_pdf["url_norm"]) if len(seen_pdf) else set()
+        out: List[tuple] = []
+        if not len(cand):
+            return pd.DataFrame(out, columns=[f.name for f in KERNEL_SCHEMA.fields])
+        budget = int(cand["budget"].iloc[0])
+        rank = 0
+        cand = cand.sort_values(["parent_seq", "pos"], kind="mergesort")
+        for parent_seq, grp in cand.groupby("parent_seq", sort=True):
+            first = grp.iloc[0]
+            if first["kind"] != "parent":
+                # parent row missing (shouldn't happen) -> skip group
+                continue
+            if budget < 1:  # CollectUrls.py:39-40 (before self-seen)
+                continue
+            parent_url, parent_norm = first["url"], first["url_norm"]
+            seen.add(parent_norm)
+            out.append((task_id, "self", parent_url, parent_norm, None,
+                        None, 0, False))
+            found: List[tuple] = []  # (url, norm, host, pos)
+            for row in grp.iloc[1:].itertuples(index=False):
+                if row.url_norm in seen:
+                    continue
+                seen.add(row.url_norm)
+                found.append((row.url, row.url_norm, row.host, row.pos))
+            n = len(found)
+            if first_and_last:  # O5 (CollectUrls.py:119-124)
+                head, tail = int(n * 0.15), int(n * 0.85)
+                grp_of = lambda i: 0 if (i < head or i >= tail) else 1
+            else:
+                grp_of = lambda i: 0
+            order = sorted(
+                range(n),
+                key=lambda i: (grp_of(i), _shuffle_key(seed, found[i][0]), found[i][3]),
+            )
+            for out_pos, i in enumerate(order):
+                url, norm, host, _ = found[i]
+                ins = out_pos < max(0, budget)
+                if ins:
+                    rank += 1
+                out.append(
+                    (task_id, "link", url, norm, host, parent_url,
+                     rank if ins else 0, ins)
+                )
+            budget = max(0, budget - n)  # CollectUrls.py:139-140
+        return pd.DataFrame(out, columns=[f.name for f in KERNEL_SCHEMA.fields])
+
+    return (
+        candidates.groupBy("task_id")
+        .cogroup(seen_rel.select("task_id", "url_norm").groupBy("task_id"))
+        .applyInPandas(kernel, KERNEL_SCHEMA)
+    )

@@ -1,0 +1,93 @@
+"""Per-host politeness + robots.txt scheduler (north-rule operator).
+
+The reference enforces politeness implicitly: one serial crawler per
+site with fixed waits around each navigation
+(config-example.py:48-50, crawler.py:163-169) — ~0.09 pages/sec/site.
+robots.txt support is an unimplemented TODO (config-example.py:57).
+
+Wave-mode equivalent: each host may contribute at most
+``host_wave_budget`` URLs per wave (wave_interval / per_page_cost),
+and robots-disallowed URLs are marked blocked instead of fetched.
+Implemented as a ``groupBy(host).applyInPandas`` priority queue:
+within one host group the frontier rows are ordered by ``seq`` (the
+reference's insertion-order dequeue, database.py:257-285), robots
+rules are evaluated with ``urllib.robotparser``, and the first
+``budget`` allowed rows are granted.
+
+Order parity: within a task, granted rows are always a seq-prefix of
+the eligible rows, so politeness sub-waves never reorder the crawl —
+they only split a depth level into consecutive sub-waves.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+from typing import List
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+SCHEDULE_SCHEMA = T.StructType(
+    [
+        T.StructField("task_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("from_url", T.StringType()),
+        T.StructField("granted", T.BooleanType()),
+        T.StructField("blocked", T.BooleanType()),
+    ]
+)
+
+_IN_COLS = ["task_id", "url", "url_norm", "host", "depth", "seq", "from_url"]
+
+
+def schedule_wave(
+    free_rows: DataFrame,
+    robots: DataFrame | None,
+    host_budget: int,
+    obey_robots: bool,
+) -> DataFrame:
+    """Returns the frontier rows annotated with ``granted`` (fetch this
+    wave) / ``blocked`` (robots-disallowed -> never fetch).
+
+    ``free_rows``: columns _IN_COLS. ``robots``: (host, rules) or None.
+    """
+    rb = robots if robots is not None else free_rows.sparkSession.createDataFrame(
+        [], "host string, rules string"
+    )
+    rb = rb.select("host", "rules")
+
+    def plan(key, rows: pd.DataFrame, rb_rows: pd.DataFrame) -> pd.DataFrame:
+        parser = None
+        if obey_robots and len(rb_rows):
+            parser = urllib.robotparser.RobotFileParser()
+            parser.parse(str(rb_rows.iloc[0]["rules"]).splitlines())
+        rows = rows.sort_values("seq", kind="mergesort")
+        blocked: List[bool] = []
+        granted: List[bool] = []
+        used = 0
+        for u in rows["url"]:
+            if parser is not None and not parser.can_fetch("*", u):
+                blocked.append(True)
+                granted.append(False)
+                continue
+            blocked.append(False)
+            if used < host_budget:
+                granted.append(True)
+                used += 1
+            else:
+                granted.append(False)
+        rows = rows[_IN_COLS].copy()
+        rows["granted"] = granted
+        rows["blocked"] = blocked
+        return rows
+
+    return (
+        free_rows.select(*_IN_COLS)
+        .groupBy("host")
+        .cogroup(rb.groupBy("host"))
+        .applyInPandas(plan, SCHEDULE_SCHEMA)
+    )

@@ -1,0 +1,423 @@
+"""CrawlEngine — the bulk-synchronous wave crawler (T1-T5, SURVEY.md §3.2).
+
+The reference's serial per-site loop (crawler.py:302-373) becomes one
+*fetch wave* per BFS depth level (optionally split into per-host
+politeness sub-waves). All durable state is log-structured parquet
+(Iceberg-snapshot-shaped) under ``workdir``:
+
+    manifest.json            committed-wave log (checkpoint, T3)
+    tasks/wave=N/            per-task budget snapshots (A1 state)
+    frontier/wave=N/         insert-only frontier deltas (K4)
+    seen/wave=N/             URL-seen key deltas (J1/U1)
+    fetches/wave=N/          fetch-result facts (K1/K2/M2)
+    metrics/wave=N/          per-wave lineage + throughput (north rule)
+
+State transitions are implicit in the log (a frontier row is complete
+iff a fetches row exists for it), so there is no row mutation anywhere
+— the reference's UPDATE-heavy state machine (database.py:184,320)
+collapses into appends plus one manifest pointer.
+
+Resume: waves are atomic (manifest committed last); an interrupted
+wave is simply recomputed — every stage is deterministic, so replay
+is idempotent (exactly-once semantics, the analog of the reference's
+crashed-URL invalidation, crawler.py:224-229).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pycrawler_spark.config import CrawlConfig
+from pycrawler_spark.functions.udfs import (
+    cookie_banner_udf,
+    extract_meta_udf,
+    extract_text_udf,
+    login_form_udf,
+    normalize_url_udf,
+    parse_url_udf,
+    tokenize_udf,
+)
+from pycrawler_spark.operators.links import candidate_links, dedup_budget_kernel
+from pycrawler_spark.operators.scheduler import schedule_wave
+from pycrawler_spark.operators.seen import relevant_seen
+
+REDIRECT_T = "array<struct<url:string,code:int,location:string>>"
+
+FETCH_COLS = [
+    "wave_id", "task_id", "url", "url_final", "url_norm", "host", "depth",
+    "repetition", "seq", "code", "method", "content", "extracted_text",
+    "meta_headers", "has_login_form", "has_cookie_banner", "redirect_chain",
+    "body_sha256",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: Optional[CrawlConfig] = None,
+        job: str = "job1",
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg or CrawlConfig()
+        self.job = job
+        self.robots: Optional[DataFrame] = None
+        self.adult_sites: Optional[DataFrame] = None
+        self.pages_path: Optional[str] = None
+
+    # ----- storage helpers ------------------------------------------------
+
+    def _dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.workdir, table, f"wave={wave:05d}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, "manifest.json")
+
+    def _load_manifest(self) -> Dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _save_manifest(self, m: Dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def _read(self, table: str, waves: List[int]) -> Optional[DataFrame]:
+        paths = [self._dir(table, w) for w in waves if os.path.isdir(self._dir(table, w))]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _committed(self, m: Dict, table: str) -> List[int]:
+        return [w["wave_id"] for w in m["waves"] if table in w["tables"]]
+
+    # ----- job init (S1 seed ingest, add_tasks_tranco.py:16-52) -----------
+
+    def init_job(
+        self,
+        seeds: DataFrame,
+        pages_path: str,
+        robots: Optional[DataFrame] = None,
+        adult_sites: Optional[DataFrame] = None,
+    ) -> None:
+        self.pages_path = pages_path
+        self.robots = robots
+        self.adult_sites = adult_sites
+        if os.path.isdir(self.workdir):
+            shutil.rmtree(self.workdir)
+        os.makedirs(self.workdir)
+
+        # scheme defaulting (add_tasks_tranco.py:19-20)
+        s = seeds.select(
+            F.col("rank").cast("long").alias("task_id"),
+            F.trim(F.col("url")).alias("raw"),
+        ).withColumn(
+            "landing_url",
+            F.when(F.col("raw").startswith("http"), F.col("raw")).otherwise(
+                F.concat(F.lit("https://"), F.col("raw"))
+            ),
+        ).withColumn(
+            "scheme",
+            F.when(F.col("raw").startswith("https"), F.lit("https"))
+            .when(F.col("raw").startswith("http"), F.lit("http"))
+            .otherwise(F.lit("https")),
+        )
+        p = s.withColumn("u", parse_url_udf(F.col("landing_url"))).filter(
+            F.col("u.fld").isNotNull()  # bad-TLD seeds skipped (:22-24)
+        )
+        tasks = p.select(
+            "task_id",
+            F.lit(self.job).alias("job"),
+            "scheme",
+            F.col("u.fld").alias("site"),
+            "landing_url",
+            F.col("u.origin").alias("landing_origin"),
+            F.col("u.host").alias("host"),
+            F.lit(self.cfg.max_urls).alias("budget"),
+        )
+        frontier0 = tasks.select(
+            "task_id",
+            F.col("landing_url").alias("url"),
+            normalize_url_udf(F.col("landing_url")).alias("url_norm"),
+            "host",
+            F.lit(0).alias("depth"),
+            F.explode(F.sequence(F.lit(1), F.lit(self.cfg.repetitions))).alias(
+                "repetition"
+            ),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("from_url"),
+        )
+        tasks.coalesce(1).write.parquet(self._dir("tasks", 0))
+        frontier0.repartition(self.cfg.host_buckets, "host").write.parquet(
+            self._dir("frontier", 0)
+        )
+        self._save_manifest(
+            {
+                "job": self.job,
+                "pages_path": pages_path,
+                "next_wave": 1,
+                "depth": 0,
+                "waves": [
+                    {"wave_id": 0, "depth": -1, "tables": ["tasks", "frontier"]}
+                ],
+            }
+        )
+
+    # ----- resume (T3) ------------------------------------------------------
+
+    def resume(self) -> None:
+        """Drop any wave directories newer than the last committed wave
+        (interrupted mid-write), then continue from the manifest."""
+        m = self._load_manifest()
+        committed = {w["wave_id"] for w in m["waves"]}
+        for table in ("tasks", "frontier", "seen", "fetches", "metrics"):
+            base = os.path.join(self.workdir, table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                wid = int(d.split("=")[1])
+                if wid not in committed:
+                    shutil.rmtree(os.path.join(base, d))
+        self.pages_path = m["pages_path"]
+
+    # ----- one wave ---------------------------------------------------------
+
+    def _run_wave(self, m: Dict, depth: int) -> Dict:
+        cfg = self.cfg
+        wave_id = m["next_wave"]
+        t0 = time.monotonic()
+        waves_sofar = [w["wave_id"] for w in m["waves"]]
+
+        frontier = self._read("frontier", self._committed(m, "frontier"))
+        fetches_prev = self._read("fetches", self._committed(m, "fetches"))
+
+        free_d = frontier.filter(
+            (F.col("depth") == depth) & (F.col("repetition") == 1)
+        )
+        if fetches_prev is not None:
+            done = fetches_prev.filter(F.col("depth") == depth).select(
+                "task_id", "url_norm"
+            ).distinct()
+            free_d = free_d.join(done, ["task_id", "url_norm"], "left_anti")
+
+        use_scheduler = cfg.politeness or cfg.obey_robots
+        if use_scheduler:
+            sched = schedule_wave(
+                free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots
+            ).cache()
+            wave = sched.filter(F.col("granted"))
+            blocked = sched.filter(F.col("blocked"))
+        else:
+            wave = free_d
+            blocked = None
+
+        wave = wave.select(
+            "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"
+        ).cache()
+        n_sched = wave.count()
+        n_blocked = blocked.count() if blocked is not None else 0
+        if n_sched == 0 and n_blocked == 0:
+            wave.unpersist()
+            return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
+                    "blocked": 0, "exhausted": True}
+
+        # --- fetch = corpus equi-join (S4/J6; replaces crawler.py:165) ----
+        pages = self.spark.read.parquet(self.pages_path).select(
+            "url", "html", "warc_ts"
+        )
+        # broadcast the wave side: the corpus (100 TB) must never shuffle
+        wave_b = F.broadcast(wave) if n_sched <= cfg.broadcast_wave_max_rows else wave
+        hits = pages.join(wave_b, "url", "inner").cache()
+        misses = wave.join(hits.select("url"), "url", "left_anti")
+
+        # --- fetch-result rows (K1/M2 SaveURL; modules/SaveURL.py:46-78) ---
+        hit_rows = hits.select(
+            F.lit(wave_id).alias("wave_id"),
+            "task_id",
+            "url",
+            F.col("url").alias("url_final"),
+            "url_norm",
+            "host",
+            "depth",
+            "seq",
+            F.lit(200).alias("code"),
+            F.lit("GET").alias("method"),
+            F.lit("text/html").alias("content"),
+            extract_text_udf(F.col("html")).alias("extracted_text"),
+            extract_meta_udf(F.col("html")).alias("meta_headers"),
+            login_form_udf(F.col("html")).alias("has_login_form"),
+            cookie_banner_udf(F.col("html")).alias("has_cookie_banner"),
+            F.expr(f"cast(array() as {REDIRECT_T})").alias("redirect_chain"),
+            F.sha2(F.col("html"), 256).alias("body_sha256"),
+        )
+        miss_rows = misses.select(
+            F.lit(wave_id).alias("wave_id"),
+            "task_id",
+            "url",
+            F.lit(None).cast("string").alias("url_final"),
+            "url_norm",
+            "host",
+            "depth",
+            "seq",
+            F.lit(cfg.code_response_error).alias("code"),
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(None).cast("string").alias("extracted_text"),
+            F.lit(None).cast("array<string>").alias("meta_headers"),
+            F.lit(None).cast("boolean").alias("has_login_form"),
+            F.lit(None).cast("boolean").alias("has_cookie_banner"),
+            F.expr(f"cast(null as {REDIRECT_T})").alias("redirect_chain"),
+            F.lit(None).cast("string").alias("body_sha256"),
+        )
+        fetch_rows = hit_rows.unionByName(miss_rows)
+        if blocked is not None and n_blocked:
+            blocked_rows = blocked.select(
+                F.lit(wave_id).alias("wave_id"), "task_id", "url",
+                F.lit(None).cast("string").alias("url_final"),
+                "url_norm", "host", "depth", "seq",
+                F.lit(cfg.code_robots_blocked).alias("code"),
+                F.lit(None).cast("string").alias("method"),
+                F.lit(None).cast("string").alias("content"),
+                F.lit(None).cast("string").alias("extracted_text"),
+                F.lit(None).cast("array<string>").alias("meta_headers"),
+                F.lit(None).cast("boolean").alias("has_login_form"),
+                F.lit(None).cast("boolean").alias("has_cookie_banner"),
+                F.expr(f"cast(null as {REDIRECT_T})").alias("redirect_chain"),
+                F.lit(None).cast("string").alias("body_sha256"),
+            )
+            fetch_rows = fetch_rows.unionByName(blocked_rows)
+        # O3 repetitions: each scheduled URL is revisited k times
+        # consecutively (database.py:275-279); same corpus -> same result.
+        fetch_rows = fetch_rows.withColumn(
+            "repetition",
+            F.explode(F.sequence(F.lit(1), F.lit(cfg.repetitions))),
+        ).select(*FETCH_COLS)
+        fetch_rows.write.parquet(self._dir("fetches", wave_id))
+
+        # --- link discovery (M1 CollectUrls) -------------------------------
+        n_found = n_inserted = 0
+        wrote: List[str] = ["fetches", "metrics"]
+        if depth < cfg.depth and cfg.recursive:
+            tasks_dim = self._read("tasks", [max(self._committed(m, "tasks"))])
+            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites)
+            seen_all = self._read("seen", self._committed(m, "seen"))
+            if seen_all is None:
+                seen_all = self.spark.createDataFrame(
+                    [], "task_id long, url_norm string"
+                )
+            seen_rel = relevant_seen(seen_all, cands, use_bloom=True,
+                                     fpp=cfg.bloom_fpp)
+            kout = dedup_budget_kernel(cands, seen_rel, cfg).cache()
+
+            links = kout.filter(F.col("kind") == "link")
+            inserted = links.filter(F.col("inserted"))
+            bases = frontier.groupBy("task_id").agg(F.max("seq").alias("base"))
+            new_frontier = (
+                inserted.join(bases, "task_id")
+                .select(
+                    "task_id",
+                    "url",
+                    "url_norm",
+                    "host",
+                    F.lit(depth + 1).alias("depth"),
+                    F.explode(
+                        F.sequence(F.lit(1), F.lit(cfg.repetitions))
+                    ).alias("repetition"),
+                    (F.col("base") + F.col("order_rank")).alias("seq"),
+                    "from_url",
+                )
+            )
+            new_frontier.repartition(cfg.host_buckets, "host").write.parquet(
+                self._dir("frontier", wave_id)
+            )
+            seen_delta = (
+                kout.select("task_id", "url_norm")
+                .distinct()
+                .join(seen_all, ["task_id", "url_norm"], "left_anti")
+            )
+            seen_delta.repartition(cfg.host_buckets, "task_id").write.parquet(
+                self._dir("seen", wave_id)
+            )
+            found_counts = links.groupBy("task_id").agg(
+                F.count("*").alias("n_found")
+            )
+            new_tasks = (
+                tasks_dim.join(found_counts, "task_id", "left")
+                .withColumn(
+                    "budget",
+                    F.greatest(
+                        F.lit(0),
+                        F.col("budget") - F.coalesce(F.col("n_found"), F.lit(0)),
+                    ),
+                )
+                .drop("n_found")
+            )
+            new_tasks.coalesce(1).write.parquet(self._dir("tasks", wave_id))
+            n_found = links.count()
+            n_inserted = inserted.count()
+            kout.unpersist()
+            wrote += ["frontier", "seen", "tasks"]
+
+        n_hits = hits.count()
+        wall = time.monotonic() - t0
+        stats = {
+            "wave_id": wave_id,
+            "depth": depth,
+            "scheduled": n_sched,
+            "hits": n_hits,
+            "misses": n_sched - n_hits,
+            "blocked": n_blocked,
+            "found": n_found,
+            "inserted": n_inserted,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round((n_sched + n_found) / max(wall, 1e-9), 1),
+            "exhausted": False,
+        }
+        self.spark.createDataFrame(
+            [tuple(stats[k] for k in stats)], list(stats.keys())
+        ).coalesce(1).write.parquet(self._dir("metrics", wave_id))
+
+        hits.unpersist()
+        wave.unpersist()
+        if use_scheduler:
+            sched.unpersist()
+
+        m["waves"].append({"wave_id": wave_id, "depth": depth, "tables": wrote})
+        m["next_wave"] = wave_id + 1
+        self._save_manifest(m)
+        return stats
+
+    # ----- full run -----------------------------------------------------------
+
+    def run(self) -> List[Dict]:
+        """Crawl to frontier exhaustion: for each depth level, run waves
+        (politeness may need several sub-waves per depth) until no free
+        URLs remain at that depth, then descend."""
+        all_stats: List[Dict] = []
+        depth = 0
+        while depth <= self.cfg.depth:
+            while True:
+                m = self._load_manifest()
+                stats = self._run_wave(m, depth)
+                if stats.get("exhausted"):
+                    break
+                all_stats.append(stats)
+                if not (self.cfg.politeness or self.cfg.obey_robots):
+                    break  # one wave fetches the whole depth level
+            depth += 1
+        return all_stats
+
+    # ----- result accessors ----------------------------------------------------
+
+    def table(self, name: str) -> Optional[DataFrame]:
+        m = self._load_manifest()
+        return self._read(name, self._committed(m, name))

@@ -1,0 +1,134 @@
+"""Golden tests for the URL toolkit (X1-X4).
+
+Expected values derived by hand from the reference semantics
+(/root/reference/utils.py:37-94); the reference package itself cannot
+be imported here (it hard-requires playwright/nltk/tld), so these
+cases pin the behavior contract documented in SURVEY.md §2.7.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pycrawler_spark import urlkit
+from pycrawler_spark.urlkit import normalize_url, parse_url
+
+
+# --- X1 normalize_url (utils.py:43-66) ------------------------------------
+
+GOLDEN = [
+    # strip + trailing slash
+    ("  https://Example.COM/  ", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    # default ports dropped, explicit kept
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    # path // collapse + trailing slash strip
+    ("https://example.com/a//b///c/", "https://example.com/a/b/c"),
+    # query kept, fragment dropped (defaults)
+    ("https://example.com/a?x=1&y=2#frag", "https://example.com/a?x=1&y=2"),
+    # path-with-slash before query
+    ("https://example.com/b/?x=1", "https://example.com/b?x=1"),
+    # userinfo dropped, host lowercased
+    ("https://User:Pw@ExAmPle.com/Path", "https://example.com/Path"),
+    # empty path -> /
+    ("https://example.com?q=1", "https://example.com/?q=1"),
+    # scheme case
+    ("HTTPS://example.com/x", "https://example.com/x"),
+]
+
+
+@pytest.mark.parametrize("url,expected", GOLDEN)
+def test_normalize_golden(url, expected):
+    assert normalize_url(url) == expected
+
+
+def test_normalize_query_fragment_flags():
+    u = "https://example.com/a?x=1#f"
+    assert normalize_url(u, query=True, fragment=True) == "https://example.com/a?x=1#f"
+    assert normalize_url(u, query=False, fragment=False) == "https://example.com/a"
+
+
+def test_normalize_idempotent_on_golden():
+    for url, expected in GOLDEN:
+        assert normalize_url(expected) == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="abcxyz:/?#@.&=%~ ",
+        max_size=60,
+    )
+)
+def test_normalize_total_and_idempotent(s):
+    """normalize never throws; normalizing twice is a fixpoint for
+    http(s) URLs with a host."""
+    out = normalize_url(s)
+    assert isinstance(out, str)
+    if out.startswith(("http://", "https://")) and parse_url(out) is not None:
+        assert normalize_url(out) == out
+
+
+# --- X2 parse_url / PSL (utils.py:37-41) -----------------------------------
+
+def test_parse_basic():
+    p = parse_url("https://Sub.Example.co.uk:8443/a/b?x=1#f")
+    assert p.host == "sub.example.co.uk"
+    assert p.fld == "example.co.uk"
+    assert p.suffix == "co.uk"
+    assert p.scheme == "https"
+    assert urlkit.url_origin(p) == "https://Sub.Example.co.uk:8443"
+    assert (
+        urlkit.url_str_with_query_fragment(p)
+        == "https://Sub.Example.co.uk:8443/a/b?x=1#f"
+    )
+
+
+def test_parse_rejects():
+    assert parse_url("no-scheme.com") is None          # TldBadUrl analog
+    assert parse_url("https://localhost/x") is None     # unknown TLD
+    assert parse_url("https://bogus.invalidtld") is None
+    assert parse_url("") is None
+    assert parse_url(None) is None
+
+
+def test_parse_bare_suffix_rejected():
+    assert parse_url("https://co.uk/") is None
+    assert parse_url("https://com") is None
+
+
+# --- X4 url_from_href (utils.py:89-94) ---------------------------------------
+
+def test_href_join():
+    base = parse_url("https://site0.com/p1?q=1#top")
+    r = urlkit.url_from_href("/p3", base)
+    assert urlkit.url_str_with_query_fragment(r) == "https://site0.com/p3"
+    r = urlkit.url_from_href("p4", base)
+    assert urlkit.url_str_with_query_fragment(r) == "https://site0.com/p4"
+    r = urlkit.url_from_href("?z=2", base)
+    assert urlkit.url_str_with_query_fragment(r) == "https://site0.com/p1?z=2"
+    assert urlkit.url_from_href("", base) is None
+    assert urlkit.url_from_href("   ", base) is None
+    assert urlkit.url_from_href(None, base) is None
+
+
+def test_href_join_cross_host():
+    base = parse_url("https://site0.com/p1")
+    r = urlkit.url_from_href("https://other.org/x", base)
+    assert r.fld == "other.org"
+
+
+# --- seen key --------------------------------------------------------------
+
+def test_seen_key_collapses_spellings():
+    variants = [
+        "https://site0.com/p3",
+        "https://site0.com:443/p3/",
+        "https://site0.com/p3#section",
+        "https://SITE0.com/p3",
+    ]
+    keys = {urlkit.seen_key(v) for v in variants}
+    assert keys == {"https://site0.com/p3"}
