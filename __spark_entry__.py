@@ -181,13 +181,17 @@ def _q6_budget_cumsum(spark, sf):
     """A1 MAX_URLS budget semantics: running sum in insertion order,
     keep rows while the cumulative budget holds."""
     li = _t(spark, sf, "lineitem")
+    # RANGE frame: (l_orderkey, l_linenumber) is not unique in the data,
+    # so a ROWS frame would be nondeterministic among peers; RANGE
+    # aggregates all peers together (Spark's default frame when only
+    # orderBy is given — made explicit here).
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        li.withColumn("cum_qty", F.round(F.sum("l_quantity").over(w), 2))
+        li.withColumn("cum_qty", F.sum("l_quantity").over(w))
         .filter(F.col("cum_qty") <= 50)
         .select("l_orderkey", "l_linenumber", "cum_qty")
     )
@@ -197,9 +201,9 @@ def _o6():
     return """
     SELECT l_orderkey, l_linenumber, cum_qty FROM (
       SELECT l_orderkey, l_linenumber,
-             round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+             sum(l_quantity) OVER (PARTITION BY l_orderkey
                    ORDER BY l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS cum_qty
       FROM lineitem
     ) WHERE cum_qty <= 50
@@ -305,13 +309,18 @@ def _o11():
 
 
 def _q12_minhash_dup_pairs(spark, sf):
-    """MinHash-LSH candidate pairs: docs sharing any of the 4 band
-    signatures (band size 1)."""
+    """MinHash-LSH candidate pairs: 4 minhashes banded as 2 bands of
+    r=2 (band key = md5 of the concatenated rows); docs sharing any
+    band key are near-dup candidates."""
     sigs = _q11_minhash_signatures(spark, sf)
-    longf = None
-    for s in _SALTS:
-        part = sigs.select("doc_id", F.col(f"mh_{s}").alias("sig"))
-        longf = part if longf is None else longf.unionByName(part)
+    bands = sigs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("mh_s1"), F.col("mh_s2"))).alias("band1"),
+        F.md5(F.concat(F.col("mh_s3"), F.col("mh_s4"))).alias("band2"),
+    )
+    longf = bands.select("doc_id", F.col("band1").alias("sig")).unionByName(
+        bands.select("doc_id", F.col("band2").alias("sig"))
+    )
     a = longf.alias("a")
     b = longf.alias("b")
     return (
@@ -324,9 +333,6 @@ def _q12_minhash_dup_pairs(spark, sf):
 
 
 def _o12():
-    unions = " UNION ALL ".join(
-        f"SELECT doc_id, mh_{s} AS sig FROM sigs" for s in _SALTS
-    )
     mins = ",\n           ".join(
         f"min(md5('{s}' || w)) AS mh_{s}" for s in _SALTS
     )
@@ -335,7 +341,11 @@ def _o12():
       SELECT doc_id, {mins}
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       GROUP BY doc_id
-    ), flat AS ({unions})
+    ), flat AS (
+      SELECT doc_id, md5(mh_s1 || mh_s2) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, md5(mh_s3 || mh_s4) AS sig FROM sigs
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM flat a JOIN flat b ON a.sig = b.sig AND a.doc_id < b.doc_id
     """
@@ -720,10 +730,10 @@ def _q_crawl_depth_counts(spark, sf):
 
     work = tempfile.mkdtemp(prefix="entry_crawl_")
     pages_p, seeds_p, _ = write_corpus(
-        work + "/corpus", seed=42, n_hosts=4, pages_per_host=8, mega_factor=2
+        work + "/corpus", seed=42, n_hosts=3, pages_per_host=8, mega_factor=2
     )
     eng = CrawlEngine(
-        spark, work + "/job", CrawlConfig(depth=2, max_urls=20), job="entry"
+        spark, work + "/job", CrawlConfig(depth=2, max_urls=15), job="entry"
     )
     eng.init_job(spark.read.parquet(seeds_p), pages_p)
     eng.run()

@@ -30,6 +30,22 @@ class CrawlConfig:
     first_and_last: bool = False    # FIRST_AND_LAST (O5)
     adult_filter: bool = False      # ADULT_FILTER   (F7/F9)
 
+    # -- extraction modules (SURVEY.md §2.8) -----------------------------
+    # M3 CollectRequests: derive the sub-resource `requests` fact table
+    # per wave (modules/CollectRequests.py:99-167)
+    collect_requests: bool = False
+    # M6 InstrumentMedia: pixel-substitute image requests
+    # (modules/InstrumentMedia.py:33-88)
+    instrument_media: bool = False
+    # M4 FindLoginForms seed injection: add /login/ /signin/ ... URLs
+    # per task at init (modules/FindLoginForms.py:39-63). NOTE: in the
+    # reference this code path is bit-rotted (reads a nonexistent
+    # `crawler.initial` attribute, SURVEY.md §5); we implement the
+    # intended initial-only semantics.
+    login_seed_injection: bool = False
+    # per-partition lineage table (north rule; no reference analog)
+    lineage: bool = True
+
     # -- determinism (SURVEY.md §7) -------------------------------------
     # The reference shuffles discovered links with an unseeded
     # random.shuffle (modules/CollectUrls.py:122-127) which is
@@ -65,6 +81,9 @@ class CrawlConfig:
     salt_buckets: int = 16
     bloom_fpp: float = 0.01
     bloom_min_items: int = 1024
+    # below this persistent-seen size the exact semi-join alone beats
+    # building + broadcasting a bloom each wave
+    bloom_auto_threshold: int = 50_000
 
     @property
     def per_page_cost_ms(self) -> int:

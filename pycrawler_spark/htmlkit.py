@@ -219,6 +219,40 @@ def detect_cookie_banner(html: "bytes | str | None") -> bool:
     return False
 
 
+# --- M3/S5: sub-resource references (CollectRequests analog) --------------
+
+_IMG_RE = re.compile(r"""<img\b[^>]*?\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_SCRIPT_SRC_RE = re.compile(
+    r"""<script\b[^>]*?\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_LINK_RE = re.compile(r"<link\b[^>]*>", re.I)
+_HREF_ATTR_RE = re.compile(
+    r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_REL_STYLESHEET_RE = re.compile(r"""\brel\s*=\s*["']?stylesheet""", re.I)
+
+
+def extract_resource_refs(html: "bytes | str | None"):
+    """(resource_type, url) pairs a browser would fetch while loading
+    the page — the corpus-mode source of the ``requests`` fact table
+    (reference: every observed sub-resource response,
+    modules/CollectRequests.py:99-124). Types follow Playwright's
+    ``request.resource_type``: image / script / stylesheet."""
+    doc = _COMMENT_RE.sub(" ", to_text(html))
+    out = []
+    for m in _IMG_RE.finditer(doc):
+        out.append(("image", _htmllib.unescape(m.group(2) or m.group(3) or m.group(4))))
+    for m in _SCRIPT_SRC_RE.finditer(doc):
+        out.append(("script", _htmllib.unescape(m.group(2) or m.group(3) or m.group(4))))
+    for m in _LINK_RE.finditer(doc):
+        tag = m.group(0)
+        if _REL_STYLESHEET_RE.search(tag):
+            h = _HREF_ATTR_RE.search(tag)
+            if h:
+                out.append(("stylesheet", _htmllib.unescape(h.group(2) or h.group(3) or h.group(4))))
+    return out
+
+
 # --- counts used by A4 (utils.py:106-110) --------------------------------
 
 def count_password_fields(html: "bytes | str | None") -> int:

@@ -156,6 +156,17 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("seq"),
             F.lit(None).cast("string").alias("from_url"),
         )
+        wave0_tables = ["tasks", "frontier"]
+        if self.cfg.login_seed_injection:
+            # M4 FindLoginForms seed injection (FindLoginForms.py:39-63):
+            # one google-dork URL at depth DEPTH-1 plus /login/-style
+            # suffixes of the landing URL (and of scheme://fld when
+            # SAME_ETLDP1) at depth DEPTH, added via add_url semantics
+            # (seen-add first, dedup by normalized key, insertion order).
+            assert self.cfg.depth >= 1, "login_seed_injection needs depth >= 1"
+            frontier0, seen0 = self._login_injection(tasks, frontier0)
+            seen0.repartition(1).write.parquet(self._dir("seen", 0))
+            wave0_tables.append("seen")
         tasks.coalesce(1).write.parquet(self._dir("tasks", 0))
         frontier0.repartition(self.cfg.host_buckets, "host").write.parquet(
             self._dir("frontier", 0)
@@ -167,10 +178,84 @@ class CrawlEngine:
                 "next_wave": 1,
                 "depth": 0,
                 "waves": [
-                    {"wave_id": 0, "depth": -1, "tables": ["tasks", "frontier"]}
+                    {"wave_id": 0, "depth": -1, "tables": wave0_tables}
                 ],
             }
         )
+
+    LOGIN_SUFFIXES = [
+        "/login/", "/signin/", "/account/", "/profile/", "/auth/",
+        "/authenticate/",
+    ]
+
+    def _login_injection(self, tasks: DataFrame, frontier0: DataFrame):
+        from pyspark.sql.window import Window
+
+        cfg = self.cfg
+        entries = [
+            F.struct(
+                F.lit(1).alias("pos"),
+                F.concat(
+                    # urllib.parse.quote(site) is the identity on valid
+                    # hostnames (unreserved chars + '.'), so plain concat
+                    F.lit('https://www.google.com/search?q="login"+site%3A'),
+                    F.col("site"),
+                ).alias("url"),
+                F.lit(cfg.depth - 1).alias("depth"),
+            )
+        ]
+        for i, s in enumerate(self.LOGIN_SUFFIXES):
+            entries.append(
+                F.struct(
+                    F.lit(2 + i).alias("pos"),
+                    F.concat(F.col("landing_url"), F.lit(s)).alias("url"),
+                    F.lit(cfg.depth).alias("depth"),
+                )
+            )
+        if cfg.same_etldp1:
+            for i, s in enumerate(self.LOGIN_SUFFIXES):
+                entries.append(
+                    F.struct(
+                        F.lit(8 + i).alias("pos"),
+                        F.concat(
+                            F.col("scheme"), F.lit("://"), F.col("site"), F.lit(s)
+                        ).alias("url"),
+                        F.lit(cfg.depth).alias("depth"),
+                    )
+                )
+        inj = tasks.select(
+            "task_id", F.explode(F.array(*entries)).alias("e")
+        ).select(
+            "task_id",
+            F.col("e.pos").alias("pos"),
+            F.col("e.url").alias("url"),
+            F.col("e.depth").alias("depth"),
+        ).withColumn("url_norm", normalize_url_udf(F.col("url")))
+        # first occurrence per normalized key wins (add_url seen-check)
+        w_dup = Window.partitionBy("task_id", "url_norm").orderBy("pos")
+        first = inj.withColumn("rn", F.row_number().over(w_dup)).filter(
+            F.col("rn") == 1
+        )
+        seen0 = first.select("task_id", "url_norm")
+        parsed = first.withColumn("u", parse_url_udf(F.col("url"))).filter(
+            F.col("u.fld").isNotNull()
+        )
+        w_seq = Window.partitionBy("task_id").orderBy("pos")
+        inj_frontier = parsed.withColumn(
+            "seq", F.row_number().over(w_seq).cast("long")
+        ).select(
+            "task_id",
+            "url",
+            "url_norm",
+            F.col("u.host").alias("host"),
+            "depth",
+            F.explode(F.sequence(F.lit(1), F.lit(cfg.repetitions))).alias(
+                "repetition"
+            ),
+            "seq",
+            F.lit(None).cast("string").alias("from_url"),
+        )
+        return frontier0.unionByName(inj_frontier), seen0
 
     # ----- resume (T3) ------------------------------------------------------
 
@@ -179,7 +264,8 @@ class CrawlEngine:
         (interrupted mid-write), then continue from the manifest."""
         m = self._load_manifest()
         committed = {w["wave_id"] for w in m["waves"]}
-        for table in ("tasks", "frontier", "seen", "fetches", "metrics"):
+        for table in ("tasks", "frontier", "seen", "fetches", "metrics",
+                      "requests", "lineage"):
             base = os.path.join(self.workdir, table)
             if not os.path.isdir(base):
                 continue
@@ -306,16 +392,43 @@ class CrawlEngine:
         # --- link discovery (M1 CollectUrls) -------------------------------
         n_found = n_inserted = 0
         wrote: List[str] = ["fetches", "metrics"]
+
+        # M3 CollectRequests (+ M6 InstrumentMedia) per wave
+        if cfg.collect_requests:
+            from pycrawler_spark.operators.requests import (
+                derive_requests,
+                instrument_media,
+            )
+
+            reqs = derive_requests(hits)
+            if cfg.instrument_media:
+                reqs = instrument_media(reqs)
+            reqs.withColumn("wave_id", F.lit(wave_id)).write.parquet(
+                self._dir("requests", wave_id)
+            )
+            wrote.append("requests")
         if depth < cfg.depth and cfg.recursive:
             tasks_dim = self._read("tasks", [max(self._committed(m, "tasks"))])
-            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites)
+            # cache: the candidate pipeline (href extraction + urljoin +
+            # PSL parse pandas UDFs) feeds the bloom build, the seen
+            # semi-join AND the dedup kernel — without the cache it
+            # would recompute three times per wave.
+            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = self.spark.createDataFrame(
                     [], "task_id long, url_norm string"
                 )
-            seen_rel = relevant_seen(seen_all, cands, use_bloom=True,
-                                     fpp=cfg.bloom_fpp)
+            # bloom prefilter pays off once the persistent seen table
+            # dwarfs the wave; below the threshold the exact semi-join
+            # alone is cheaper (2 fewer jobs per wave)
+            seen_estimate = sum(w.get("found", 0) for w in m["waves"])
+            seen_rel = relevant_seen(
+                seen_all,
+                cands,
+                use_bloom=seen_estimate > cfg.bloom_auto_threshold,
+                fpp=cfg.bloom_fpp,
+            )
             kout = dedup_budget_kernel(cands, seen_rel, cfg).cache()
 
             links = kout.filter(F.col("kind") == "link")
@@ -365,6 +478,7 @@ class CrawlEngine:
             n_found = links.count()
             n_inserted = inserted.count()
             kout.unpersist()
+            cands.unpersist()
             wrote += ["frontier", "seen", "tasks"]
 
         n_hits = hits.count()
@@ -386,12 +500,31 @@ class CrawlEngine:
             [tuple(stats[k] for k in stats)], list(stats.keys())
         ).coalesce(1).write.parquet(self._dir("metrics", wave_id))
 
+        # per-partition (host) lineage: which host-bucket produced what
+        # in this wave — resumable audit trail (north rule)
+        if cfg.lineage:
+            from pycrawler_spark.functions.udfs import host_bucket
+
+            lineage = (
+                wave.withColumn("bucket", host_bucket(F.col("host"), cfg.host_buckets))
+                .groupBy("bucket", "host")
+                .agg(F.count("*").alias("n_scheduled"), F.min("seq").alias("seq_lo"),
+                     F.max("seq").alias("seq_hi"))
+                .withColumn("wave_id", F.lit(wave_id))
+                .withColumn("depth", F.lit(depth))
+            )
+            lineage.coalesce(4).write.parquet(self._dir("lineage", wave_id))
+            wrote.append("lineage")
+
         hits.unpersist()
         wave.unpersist()
         if use_scheduler:
             sched.unpersist()
 
-        m["waves"].append({"wave_id": wave_id, "depth": depth, "tables": wrote})
+        m["waves"].append(
+            {"wave_id": wave_id, "depth": depth, "tables": wrote,
+             "found": n_found}
+        )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)
         return stats

@@ -163,6 +163,30 @@ def simulate(
         frontier: List[List] = [[task.landing_url, 0, None, "free"]]
         cur_depth = 0
 
+        if cfg.login_seed_injection:
+            # M4 seed injection via add_url (FindLoginForms.py:39-63,
+            # database.py:293-320): seen-check, seen-add, parse-check,
+            # insert. quote(site) is identity for valid hostnames.
+            sufs = ["/login/", "/signin/", "/account/", "/profile/",
+                    "/auth/", "/authenticate/"]
+            adds = [
+                (f'https://www.google.com/search?q="login"+site%3A{task.site}',
+                 cfg.depth - 1)
+            ]
+            adds += [(task.landing_url + s, cfg.depth) for s in sufs]
+            if cfg.same_etldp1:
+                adds += [(f"{task.scheme}://{task.site}{s}", cfg.depth)
+                         for s in sufs]
+            for u, d in adds:
+                key = urlkit.seen_key(u)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if urlkit.parse_url(u) is None:
+                    continue
+                frontier.append([u, d, None, "free"])
+                inserted.append((u, d, None))
+
         def dequeue() -> Optional[List]:
             nonlocal cur_depth
             if cfg.breadth_first:

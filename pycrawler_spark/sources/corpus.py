@@ -83,7 +83,11 @@ def _page_html(
     if j % 9 == 0:
         parts.append('<meta http-equiv="refresh" content="3600">')
     parts.append("<style>body{margin:0}</style>")
+    parts.append('<link rel="stylesheet" href="/static/site.css">')
     parts.append("</head><body>")
+    parts.append(f'<img src="/img/banner{j % 4}.png" alt="">')
+    if j % 2 == 0:
+        parts.append('<script src="/static/app.js"></script>')
     parts.append("<script>var x = '<a href=\"/script-trap\">';</script>")
     parts.append('<!-- comment trap <a href="/comment-trap"> -->')
 

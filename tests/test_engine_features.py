@@ -1,0 +1,142 @@
+"""Feature-level engine tests: login-seed injection parity (M4),
+repetitions (O3), FIRST_AND_LAST (O5), robots blocking, requests
+derivation (M3/M6), resume idempotence (T3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycrawler_spark.config import CrawlConfig
+from pycrawler_spark.plans.crawl import CrawlEngine
+from pycrawler_spark.simulator import simulate
+from pycrawler_spark.sources.corpus import generate_corpus, write_corpus
+
+
+def _run_both(spark, tmp_path, cfg, corpus_kw=None, robots=False):
+    kw = dict(seed=42, n_hosts=4, pages_per_host=10, mega_factor=2)
+    kw.update(corpus_kw or {})
+    pages_p, seeds_p, robots_p = write_corpus(str(tmp_path / "c"), **kw)
+    pages, seeds, _ = generate_corpus(**kw)
+    sim = simulate({p["url"]: p["html"] for p in pages}, seeds, cfg.copy())
+    eng = CrawlEngine(spark, str(tmp_path / "job"), cfg.copy(), job="t")
+    eng.init_job(
+        spark.read.parquet(seeds_p),
+        pages_p,
+        robots=spark.read.parquet(robots_p) if robots else None,
+    )
+    eng.run()
+    return eng, sim
+
+
+def _visits(eng):
+    rows = eng.table("fetches").select(
+        "task_id", "url", "depth", "seq", "repetition"
+    ).collect()
+    by_task = {}
+    for r in sorted(rows, key=lambda r: (r.task_id, r.depth, r.seq, r.repetition)):
+        by_task.setdefault(r.task_id, []).append((r.url, r.depth, r.repetition))
+    return by_task
+
+
+def _seen(eng):
+    got = {}
+    for r in eng.table("seen").collect():
+        got.setdefault(r.task_id, set()).add(r.url_norm)
+    return got
+
+
+def test_login_injection_parity(spark, tmp_path):
+    cfg = CrawlConfig(depth=2, max_urls=30, login_seed_injection=True)
+    eng, sim = _run_both(spark, tmp_path, cfg)
+    assert _visits(eng) == sim.visits
+    assert _seen(eng) == {t: s for t, s in sim.seen.items() if s}
+    # injected URLs actually fetched (as corpus misses)
+    urls = {r.url for r in eng.table("fetches").collect()}
+    assert any(u.endswith("/login/") for u in urls)
+    assert any("google.com/search" in u for u in urls)
+
+
+def test_repetitions_parity(spark, tmp_path):
+    cfg = CrawlConfig(depth=1, max_urls=10, repetitions=3)
+    eng, sim = _run_both(spark, tmp_path, cfg)
+    assert _visits(eng) == sim.visits
+    reps = eng.table("fetches").groupBy("repetition").count().collect()
+    assert {r.repetition for r in reps} == {1, 2, 3}
+
+
+def test_first_and_last_parity(spark, tmp_path):
+    cfg = CrawlConfig(depth=2, max_urls=6, first_and_last=True)
+    eng, sim = _run_both(spark, tmp_path, cfg, corpus_kw={"branching": 5})
+    assert _visits(eng) == sim.visits
+    assert _seen(eng) == {t: s for t, s in sim.seen.items() if s}
+
+
+def test_robots_blocking(spark, tmp_path):
+    """Even-numbered hosts disallow /p7; with obey_robots the engine
+    marks those rows code -3 and never fetches them."""
+    cfg = CrawlConfig(depth=3, max_urls=50, obey_robots=True)
+    eng, _ = _run_both(spark, tmp_path, cfg, robots=True)
+    blocked = eng.table("fetches").filter(F.col("code") == -3).collect()
+    assert blocked, "expected robots-blocked rows"
+    for r in blocked:
+        assert r.url.endswith("/p7")
+    # blocked urls appear exactly once and were never fetched with 200
+    ok = eng.table("fetches").filter(
+        (F.col("code") == 200) & F.col("url").isin([r.url for r in blocked])
+    ).count()
+    assert ok == 0
+
+
+def test_requests_and_media(spark, tmp_path):
+    cfg = CrawlConfig(depth=1, max_urls=10, collect_requests=True,
+                      instrument_media=True)
+    eng, _ = _run_both(spark, tmp_path, cfg)
+    reqs = eng.table("requests")
+    types = {r.resource_type for r in reqs.select("resource_type").distinct().collect()}
+    assert {"document", "image", "script", "stylesheet"} <= types
+    # navigation rows match fetched pages with code 200
+    nav = reqs.filter(F.col("navigation")).count()
+    ok = eng.table("fetches").filter(F.col("code") == 200).count()
+    assert nav == ok
+    # M6: image rows intercepted with constant pixel body, others not
+    img = reqs.filter(F.col("resource_type") == "image").collect()
+    assert img and all(r.intercepted and bytes(r.body) for r in img)
+    other = reqs.filter(F.col("resource_type") != "image").collect()
+    assert all(not r.intercepted and r.body is None for r in other)
+
+
+def test_resume_recomputes_interrupted_wave(spark, tmp_path):
+    """Kill-after-partial-write: drop the manifest commit of the last
+    wave, resume, re-run -> identical fetch set (T3 exactly-once)."""
+    import json
+    import os
+    import shutil
+
+    cfg = CrawlConfig(depth=2, max_urls=20)
+    eng, sim = _run_both(spark, tmp_path, cfg)
+    before = {(r.task_id, r.url, r.depth, r.repetition, r.code)
+              for r in eng.table("fetches").collect()}
+
+    # simulate a crash during the last wave: roll the manifest back one
+    # committed wave but leave its (now orphan) directories on disk
+    mpath = os.path.join(str(tmp_path / "job"), "manifest.json")
+    m = json.load(open(mpath))
+    dropped = m["waves"].pop()
+    m["next_wave"] = dropped["wave_id"]
+    json.dump(m, open(mpath, "w"))
+
+    eng2 = CrawlEngine(spark, str(tmp_path / "job"), cfg.copy(), job="t")
+    eng2.resume()
+    for t in dropped["tables"]:
+        assert not os.path.isdir(
+            os.path.join(str(tmp_path / "job"), t, f"wave={dropped['wave_id']:05d}")
+        )
+    # continue the crawl from the rolled-back state
+    depth = dropped["depth"]
+    while depth <= cfg.depth:
+        m2 = eng2._load_manifest()
+        s = eng2._run_wave(m2, depth)
+        if s.get("exhausted"):
+            depth += 1
+    after = {(r.task_id, r.url, r.depth, r.repetition, r.code)
+             for r in eng2.table("fetches").collect()}
+    assert after == before

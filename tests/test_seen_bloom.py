@@ -1,0 +1,115 @@
+"""Bloom prefilter (J1 scale path) and politeness scheduler tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pycrawler_spark.operators.seen import (
+    NumpyBloom,
+    _params,
+    build_bloom,
+    might_contain_filter,
+    relevant_seen,
+)
+
+
+def test_numpy_bloom_no_false_negatives():
+    m, k = _params(10_000, 0.01)
+    bloom = NumpyBloom(m, k)
+    rng = np.random.default_rng(42)
+    added = rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64)
+    bloom.add_hashes(added)
+    assert bloom.might_contain(added).all()  # zero false negatives, ever
+
+
+def test_numpy_bloom_fpp_reasonable():
+    m, k = _params(10_000, 0.01)
+    bloom = NumpyBloom(m, k)
+    rng = np.random.default_rng(7)
+    bloom.add_hashes(rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64))
+    probe = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+    fp = bloom.might_contain(probe).mean()
+    assert fp < 0.03  # ~1% design point, generous bound
+
+
+def test_bloom_roundtrip_and_union():
+    m, k = _params(2048, 0.01)
+    a, b = NumpyBloom(m, k), NumpyBloom(m, k)
+    a.add_hashes(np.array([1, 2, 3], dtype=np.int64))
+    b.add_hashes(np.array([900, -901], dtype=np.int64))
+    u = NumpyBloom.from_bytes(a.union(b).to_bytes())
+    assert u.might_contain(np.array([1, 900, -901], dtype=np.int64)).all()
+
+
+def test_relevant_seen_exact_with_and_without_bloom(spark):
+    seen = spark.createDataFrame(
+        [(1, f"https://h/{i}") for i in range(500)]
+        + [(2, "https://h/0")],
+        "task_id long, url_norm string",
+    )
+    cands = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(0, 1000, 100)],
+        "url_norm string",
+    )
+    expect = {(r.task_id, r.url_norm) for r in
+              seen.join(cands, "url_norm", "left_semi").collect()}
+    for use_bloom in (False, True):
+        got = {
+            (r.task_id, r.url_norm)
+            for r in relevant_seen(seen, cands, use_bloom=use_bloom).collect()
+        }
+        assert got == expect, f"use_bloom={use_bloom}"
+
+
+def test_distributed_bloom_build_matches_local(spark):
+    df = spark.createDataFrame(
+        [(f"key{i}",) for i in range(3000)], "url_norm string"
+    )
+    bloom = build_bloom(df, "url_norm", n_items=3000, fpp=0.01)
+    kept = might_contain_filter(df, bloom, "url_norm").count()
+    assert kept == 3000  # every inserted key must pass its own filter
+
+
+def test_politeness_budget_per_host(spark):
+    from pycrawler_spark.operators.scheduler import schedule_wave
+
+    rows = spark.createDataFrame(
+        [
+            (1, f"https://a.com/p{i}", f"https://a.com/p{i}", "a.com", 1, i, None)
+            for i in range(10)
+        ]
+        + [
+            (2, f"https://b.com/p{i}", f"https://b.com/p{i}", "b.com", 1, i, None)
+            for i in range(3)
+        ],
+        "task_id long, url string, url_norm string, host string, "
+        "depth int, seq long, from_url string",
+    )
+    out = schedule_wave(rows, None, host_budget=4, obey_robots=False).collect()
+    granted = {}
+    for r in out:
+        if r.granted:
+            granted.setdefault(r.host, []).append(r.seq)
+    assert sorted(granted["a.com"]) == [0, 1, 2, 3]  # seq-prefix, not arbitrary
+    assert sorted(granted["b.com"]) == [0, 1, 2]
+
+
+def test_robots_rules_applied(spark):
+    from pycrawler_spark.operators.scheduler import schedule_wave
+
+    rows = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x", "n1", "a.com", 1, 0, None),
+            (1, "https://a.com/ok", "n2", "a.com", 1, 1, None),
+        ],
+        "task_id long, url string, url_norm string, host string, "
+        "depth int, seq long, from_url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, rules string",
+    )
+    out = {r.url: (r.granted, r.blocked) for r in
+           schedule_wave(rows, robots, 100, obey_robots=True).collect()}
+    assert out["https://a.com/private/x"] == (False, True)
+    assert out["https://a.com/ok"] == (True, False)
