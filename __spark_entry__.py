@@ -716,7 +716,148 @@ def _o24():
     """
 
 
+def _q25_sessionize(spark, sf):
+    """Stateful-stream analog done relationally: gaps-and-islands
+    sessionization (30-min inactivity gap) per user."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ts is TIMESTAMP_NTZ in the parquet; cast for unix_micros (session
+    # TZ pinned to UTC so the cast is deterministic)
+    mic = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = mic(F.col("ts")) - mic(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wc))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def _o25():
+    return """
+    SELECT user_id, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    """
+
+
+def _q26_simhash_hamming(spark, sf):
+    """Near-dup distance: Hamming distance between the 16-bit simhash
+    of doc_id and doc_id+1 (bit_count(xor))."""
+    s = _q14_simhash16(spark, sf)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 1
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.bit_count(
+            F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+        ).alias("hamming"),
+    )
+
+
+def _o26():
+    inner = _o14()
+    return f"""
+    WITH sh AS ({inner})
+    SELECT a.doc_id AS doc_a,
+           bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """
+
+
+def _q27_host_bucket(spark, sf):
+    """North-rule host-hash partitioning as a checkable op: md5-derived
+    bucket id per synthetic host (engine uses xxhash64; md5 variant is
+    the SQL-reproducible twin)."""
+    e = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("site"), (F.col("user_id") % 20).cast("string"), F.lit(".com")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(host), 1, 15), 16, 10).cast("long"), F.lit(32)
+    )
+    return e.select(host.alias("host"), bucket.alias("bucket")).distinct()
+
+
+def _o27():
+    return """
+    SELECT DISTINCT 'site' || (user_id % 20) || '.com' AS host,
+           ('0x' || substr(md5('site' || (user_id % 20) || '.com'), 1, 15))::BIGINT % 32
+           AS bucket
+    FROM events
+    """
+
+
+def _q28_shingles(spark, sf):
+    """3-gram shingling (dedup building block) — distinct shingle
+    count per document, pure JVM array ops."""
+    from pycrawler_spark.operators.dedup import shingle
+
+    d = _t(spark, sf, "documents")
+    return shingle(d, "text", "doc_id", k=3).groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+
+
+def _o28():
+    return """
+    SELECT doc_id, len(list_distinct(
+             list_transform(range(greatest(len(string_split(text,' ')) - 3, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))
+           )) AS n_shingles
+    FROM documents
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
+
+def _q_media_features(spark, sf):
+    """Multimodal plumbing: documents' text bytes as opaque media
+    payloads -> deterministic fake decode -> typed feature rows.
+    Oracle: none (md5-derived float features are not practical in SQL);
+    rows-only + tests/test_dataops.py::test_media_feature_plumbing."""
+    from pycrawler_spark.operators.media import extract_features
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "width", "height", "n_frames", "decode_ok"
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    """ANN via random-hyperplane LSH buckets vs the vec_id=0 query.
+    Oracle: none (seeded numpy hyperplanes); recall vs brute force is
+    asserted in tests/test_dataops.py."""
+    from pycrawler_spark.operators.similarity import add_lsh_bucket, lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    bucketed = add_lsh_bucket(e, dim=dim, bits=6)
+    return lsh_topk(bucketed, [float(x) for x in q], k=10, bits=6, n_flip=1)
+
 
 def _q_crawl_depth_counts(spark, sf):
     """End-to-end wave crawl on a tiny deterministic synthetic corpus:
@@ -777,6 +918,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_hashes": _q22_hashes,
     "q23_decode": _q23_decode,
     "q24_dup_groups_rollup": _q24_dup_groups_rollup,
+    "q25_sessionize": _q25_sessionize,
+    "q26_simhash_hamming": _q26_simhash_hamming,
+    "q27_host_bucket": _q27_host_bucket,
+    "q28_shingles": _q28_shingles,
+    "media_features": _q_media_features,
+    "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
 }
 
@@ -805,8 +952,13 @@ _ORACLES: dict[str, str] = {
     "q22_hashes": _o22(),
     "q23_decode": _o23(),
     "q24_dup_groups_rollup": _o24(),
-    # crawl_depth_counts: intentionally no oracle (engine semantics are
-    # verified against the reference simulator in pytest)
+    "q25_sessionize": _o25(),
+    "q26_simhash_hamming": _o26(),
+    "q27_host_bucket": _o27(),
+    "q28_shingles": _o28(),
+    # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
+    # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
+    # semantics respectively); each is verified in pytest instead
 }
 
 

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+DataFrame — the operations a 100 TB web-text pipeline runs after the
+crawl (no reference analog; the reference dedups only URLs, J1).
+
+All hashing is md5-derived (JVM built-in, whole-stage codegen) so
+every operator is reproducible in ANSI SQL — the matching DuckDB
+oracles live in __spark_entry__. No Python UDF in any hot path except
+SimHash-64 (whose 64-bit bit-bucket accumulation is cheaper in numpy
+than as 64 JVM aggregate expressions).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_SALTS = ("s1", "s2", "s3", "s4", "s5", "s6", "s7", "s8")
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text: hash-groupBy — one
+    shuffle on the 32-hex md5 key, never on the text payload."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingling / words -------------------------------------------------------
+
+def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            k: int = 3) -> DataFrame:
+    """Distinct k-token shingles via JVM array ops (transform over a
+    sequence of offsets — no Python)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salts: Sequence[str] = DEFAULT_SALTS,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """One min(md5(salt || shingle)) per salt — the classic permutation
+    approximation. shingle_k=1 degrades to word-set minhash."""
+    if shingle_k == 1:
+        units = _words(df, text_col, id_col).withColumnRenamed("w", "u")
+    else:
+        units = shingle(df, text_col, id_col, shingle_k).withColumnRenamed(
+            "shingle", "u"
+        )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s), F.col("u")))).alias(f"mh_{i}")
+        for i, s in enumerate(salts)
+    ]
+    return units.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature columns into ``bands`` groups; docs sharing a
+    band key are candidates. Self-join happens on the band key only —
+    the shuffle carries (id, 32-byte key)."""
+    sig_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    assert len(sig_cols) % bands == 0, "bands must divide signature size"
+    r = len(sig_cols) // bands
+    flat = None
+    for b in range(bands):
+        cols = sig_cols[b * r : (b + 1) * r]
+        part = sigs.select(
+            id_col,
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("band_key"),
+        )
+        flat = part if flat is None else flat.unionByName(part)
+    a, b_ = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salts: Sequence[str] = DEFAULT_SALTS,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Drop LSH near-duplicates, keeping the smallest id of each
+    connected component's star (greedy: a doc survives unless it pairs
+    with a smaller-id doc)."""
+    sigs = minhash_signatures(df, text_col, id_col, salts, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- Jaccard ------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) candidate pairs — the
+    verify stage after LSH. Shuffles only (id, unit) pairs."""
+    units = (
+        _words(df, text_col, id_col).withColumnRenamed("w", "u").distinct()
+        if shingle_k == 1
+        else shingle(df, text_col, id_col, shingle_k).withColumnRenamed(
+            "shingle", "u"
+        )
+    )
+    sizes = units.groupBy(id_col).agg(F.count("*").alias("n"))
+    ua = units.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"))
+    ub = units.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"))
+    inter = (
+        candidates.join(ua, "id_a")
+        .join(ub, ["id_b"])
+        .filter(F.col("u_a") == F.col("u_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc (vectorized pandas UDF)."""
+    from pycrawler_spark.functions.udfs import simhash_udf
+
+    return df.select(id_col, simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= k, blocked on 16-bit
+    chunks (pigeonhole: any pair within distance 3 shares at least one
+    of 4 chunks) — turns the quadratic scan into 4 equi-joins."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(0xFFFF).alias(f"c{i}")
+        for i in range(4)
+    ]
+    t = sims.select(id_col, "simhash", *chunks)
+    out = None
+    for i in range(4):
+        a, b = t.alias("a"), t.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.filter(F.col("hamming") <= max_hamming).distinct()

@@ -55,10 +55,11 @@ def schedule_wave(
 
     ``free_rows``: columns _IN_COLS. ``robots``: (host, rules) or None.
     """
-    rb = robots if robots is not None else free_rows.sparkSession.createDataFrame(
-        [], "host string, rules string"
-    )
-    rb = rb.select("host", "rules")
+    if robots is None:
+        from pycrawler_spark.util import empty_df
+
+        robots = empty_df(free_rows.sparkSession, "host string, rules string")
+    rb = robots.select("host", "rules")
 
     def plan(key, rows: pd.DataFrame, rb_rows: pd.DataFrame) -> pd.DataFrame:
         parser = None

@@ -46,6 +46,7 @@ from pycrawler_spark.functions.udfs import (
 from pycrawler_spark.operators.links import candidate_links, dedup_budget_kernel
 from pycrawler_spark.operators.scheduler import schedule_wave
 from pycrawler_spark.operators.seen import relevant_seen
+from pycrawler_spark.util import empty_df, one_row_df
 
 REDIRECT_T = "array<struct<url:string,code:int,location:string>>"
 
@@ -102,20 +103,8 @@ class CrawlEngine:
 
     # ----- job init (S1 seed ingest, add_tasks_tranco.py:16-52) -----------
 
-    def init_job(
-        self,
-        seeds: DataFrame,
-        pages_path: str,
-        robots: Optional[DataFrame] = None,
-        adult_sites: Optional[DataFrame] = None,
-    ) -> None:
-        self.pages_path = pages_path
-        self.robots = robots
-        self.adult_sites = adult_sites
-        if os.path.isdir(self.workdir):
-            shutil.rmtree(self.workdir)
-        os.makedirs(self.workdir)
-
+    def _derive_tasks(self, seeds: DataFrame) -> DataFrame:
+        """S1 seed ingest semantics (add_tasks_tranco.py:16-52)."""
         # scheme defaulting (add_tasks_tranco.py:19-20)
         s = seeds.select(
             F.col("rank").cast("long").alias("task_id"),
@@ -134,7 +123,7 @@ class CrawlEngine:
         p = s.withColumn("u", parse_url_udf(F.col("landing_url"))).filter(
             F.col("u.fld").isNotNull()  # bad-TLD seeds skipped (:22-24)
         )
-        tasks = p.select(
+        return p.select(
             "task_id",
             F.lit(self.job).alias("job"),
             "scheme",
@@ -144,7 +133,9 @@ class CrawlEngine:
             F.col("u.host").alias("host"),
             F.lit(self.cfg.max_urls).alias("budget"),
         )
-        frontier0 = tasks.select(
+
+    def _frontier0(self, tasks: DataFrame) -> DataFrame:
+        return tasks.select(
             "task_id",
             F.col("landing_url").alias("url"),
             normalize_url_udf(F.col("landing_url")).alias("url_norm"),
@@ -156,6 +147,23 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("seq"),
             F.lit(None).cast("string").alias("from_url"),
         )
+
+    def init_job(
+        self,
+        seeds: DataFrame,
+        pages_path: str,
+        robots: Optional[DataFrame] = None,
+        adult_sites: Optional[DataFrame] = None,
+    ) -> None:
+        self.pages_path = pages_path
+        self.robots = robots
+        self.adult_sites = adult_sites
+        if os.path.isdir(self.workdir):
+            shutil.rmtree(self.workdir)
+        os.makedirs(self.workdir)
+
+        tasks = self._derive_tasks(seeds)
+        frontier0 = self._frontier0(tasks)
         wave0_tables = ["tasks", "frontier"]
         if self.cfg.login_seed_injection:
             # M4 FindLoginForms seed injection (FindLoginForms.py:39-63):
@@ -257,6 +265,39 @@ class CrawlEngine:
         )
         return frontier0.unionByName(inj_frontier), seen0
 
+    def add_seeds(self, seeds: DataFrame) -> int:
+        """Listen-mode ingest (T2, main.py:153-157): append new tasks +
+        their wave-0 frontier rows to a running job. Seed ranks that
+        collide with existing task_ids are skipped (first wins —
+        idempotent micro-batch replay). Returns new-task count."""
+        m = self._load_manifest()
+        wave_id = m["next_wave"]
+        latest = self._read("tasks", [max(self._committed(m, "tasks"))])
+        new_tasks = self._derive_tasks(seeds).join(
+            latest.select("task_id"), "task_id", "left_anti"
+        )
+        n_new = new_tasks.count()
+        if n_new == 0:
+            return 0
+        frontier_new = self._frontier0(new_tasks)
+        tables = ["tasks", "frontier"]
+        if self.cfg.login_seed_injection:
+            frontier_new, seen_new = self._login_injection(new_tasks, frontier_new)
+            seen_new.repartition(1).write.parquet(self._dir("seen", wave_id))
+            tables.append("seen")
+        latest.unionByName(new_tasks).coalesce(1).write.parquet(
+            self._dir("tasks", wave_id)
+        )
+        frontier_new.repartition(self.cfg.host_buckets, "host").write.parquet(
+            self._dir("frontier", wave_id)
+        )
+        m["waves"].append(
+            {"wave_id": wave_id, "depth": -1, "tables": tables, "found": 0}
+        )
+        m["next_wave"] = wave_id + 1
+        self._save_manifest(m)
+        return n_new
+
     # ----- resume (T3) ------------------------------------------------------
 
     def resume(self) -> None:
@@ -281,21 +322,41 @@ class CrawlEngine:
         cfg = self.cfg
         wave_id = m["next_wave"]
         t0 = time.monotonic()
-        waves_sofar = [w["wave_id"] for w in m["waves"]]
+
+        trace_on = os.environ.get("PYCRAWLER_TRACE", "") == "1"
+        _last = [time.monotonic()]
+
+        def trace(label: str) -> None:
+            if trace_on:
+                now = time.monotonic()
+                print(f"[wave {wave_id}] {label}: {now - _last[0]:.2f}s",
+                      flush=True)
+                _last[0] = now
+
+        if not (cfg.politeness or cfg.obey_robots) and any(
+            w["depth"] == depth for w in m["waves"]
+        ):
+            # without politeness a depth is exactly one atomic wave;
+            # a committed wave at this depth means it is done (resume path)
+            return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
+                    "blocked": 0, "exhausted": True}
 
         frontier = self._read("frontier", self._committed(m, "frontier"))
-        fetches_prev = self._read("fetches", self._committed(m, "fetches"))
 
         free_d = frontier.filter(
             (F.col("depth") == depth) & (F.col("repetition") == 1)
         )
-        if fetches_prev is not None:
-            done = fetches_prev.filter(F.col("depth") == depth).select(
-                "task_id", "url_norm"
-            ).distinct()
-            free_d = free_d.join(done, ["task_id", "url_norm"], "left_anti")
-
         use_scheduler = cfg.politeness or cfg.obey_robots
+        # the already-fetched anti-join is only needed when a depth can
+        # be split across waves (politeness sub-waves); without the
+        # scheduler each depth is exactly one atomic wave
+        if use_scheduler:
+            fetches_prev = self._read("fetches", self._committed(m, "fetches"))
+            if fetches_prev is not None:
+                done = fetches_prev.filter(F.col("depth") == depth).select(
+                    "task_id", "url_norm"
+                ).distinct()
+                free_d = free_d.join(done, ["task_id", "url_norm"], "left_anti")
         if use_scheduler:
             sched = schedule_wave(
                 free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots
@@ -311,6 +372,7 @@ class CrawlEngine:
         ).cache()
         n_sched = wave.count()
         n_blocked = blocked.count() if blocked is not None else 0
+        trace(f"schedule ({n_sched} urls)")
         if n_sched == 0 and n_blocked == 0:
             wave.unpersist()
             return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
@@ -324,6 +386,7 @@ class CrawlEngine:
         wave_b = F.broadcast(wave) if n_sched <= cfg.broadcast_wave_max_rows else wave
         hits = pages.join(wave_b, "url", "inner").cache()
         misses = wave.join(hits.select("url"), "url", "left_anti")
+        trace("fetch join defined")
 
         # --- fetch-result rows (K1/M2 SaveURL; modules/SaveURL.py:46-78) ---
         hit_rows = hits.select(
@@ -388,6 +451,7 @@ class CrawlEngine:
             F.explode(F.sequence(F.lit(1), F.lit(cfg.repetitions))),
         ).select(*FETCH_COLS)
         fetch_rows.write.parquet(self._dir("fetches", wave_id))
+        trace("fetches written")
 
         # --- link discovery (M1 CollectUrls) -------------------------------
         n_found = n_inserted = 0
@@ -416,9 +480,7 @@ class CrawlEngine:
             cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
-                seen_all = self.spark.createDataFrame(
-                    [], "task_id long, url_norm string"
-                )
+                seen_all = empty_df(self.spark, "task_id long, url_norm string")
             # bloom prefilter pays off once the persistent seen table
             # dwarfs the wave; below the threshold the exact semi-join
             # alone is cheaper (2 fewer jobs per wave)
@@ -429,7 +491,12 @@ class CrawlEngine:
                 use_bloom=seen_estimate > cfg.bloom_auto_threshold,
                 fpp=cfg.bloom_fpp,
             )
+            trace("seen_rel defined")
+            if trace_on:
+                trace(f"cands materialized ({cands.count()})")
             kout = dedup_budget_kernel(cands, seen_rel, cfg).cache()
+            if trace_on:
+                trace(f"kernel materialized ({kout.count()})")
 
             links = kout.filter(F.col("kind") == "link")
             inserted = links.filter(F.col("inserted"))
@@ -452,36 +519,45 @@ class CrawlEngine:
             new_frontier.repartition(cfg.host_buckets, "host").write.parquet(
                 self._dir("frontier", wave_id)
             )
-            seen_delta = (
-                kout.select("task_id", "url_norm")
-                .distinct()
-                .join(seen_all, ["task_id", "url_norm"], "left_anti")
-            )
+            trace("frontier written")
+            # per-wave seen delta: wave-internal distinct only. Replays
+            # of keys already in older deltas are harmless — every
+            # consumer (bloom build, semi-join, kernel set) is
+            # idempotent on duplicates — so no cross-history anti-join.
+            seen_delta = kout.select("task_id", "url_norm").distinct()
             seen_delta.repartition(cfg.host_buckets, "task_id").write.parquet(
                 self._dir("seen", wave_id)
             )
-            found_counts = links.groupBy("task_id").agg(
-                F.count("*").alias("n_found")
-            )
-            new_tasks = (
-                tasks_dim.join(found_counts, "task_id", "left")
-                .withColumn(
-                    "budget",
-                    F.greatest(
-                        F.lit(0),
-                        F.col("budget") - F.coalesce(F.col("n_found"), F.lit(0)),
-                    ),
+            trace("seen written")
+            # budgets + wave counters in ONE small job on the cached
+            # kernel output; the per-task merge happens driver-side
+            # (tasks_dim is tiny — reference holds one row per site)
+            agg = (
+                kout.groupBy("task_id")
+                .agg(
+                    F.sum(F.when(F.col("kind") == "link", 1).otherwise(0)).alias("n_found"),
+                    F.sum(F.when(F.col("inserted"), 1).otherwise(0)).alias("n_ins"),
                 )
-                .drop("n_found")
+                .toPandas()
             )
-            new_tasks.coalesce(1).write.parquet(self._dir("tasks", wave_id))
-            n_found = links.count()
-            n_inserted = inserted.count()
+            n_found = int(agg["n_found"].sum())
+            n_inserted = int(agg["n_ins"].sum())
+            tp = tasks_dim.toPandas()
+            tp = tp.merge(agg[["task_id", "n_found"]], on="task_id", how="left")
+            tp["budget"] = (
+                (tp["budget"] - tp["n_found"].fillna(0)).clip(lower=0).astype("int32")
+            )
+            tp = tp.drop(columns=["n_found"])
+            self.spark.createDataFrame(tp).coalesce(1).write.parquet(
+                self._dir("tasks", wave_id)
+            )
+            trace("tasks written")
             kout.unpersist()
             cands.unpersist()
             wrote += ["frontier", "seen", "tasks"]
 
         n_hits = hits.count()
+        trace("hits count")
         wall = time.monotonic() - t0
         stats = {
             "wave_id": wave_id,
@@ -496,9 +572,12 @@ class CrawlEngine:
             "urls_per_sec": round((n_sched + n_found) / max(wall, 1e-9), 1),
             "exhausted": False,
         }
-        self.spark.createDataFrame(
-            [tuple(stats[k] for k in stats)], list(stats.keys())
-        ).coalesce(1).write.parquet(self._dir("metrics", wave_id))
+        # Arrow path: a Python-list createDataFrame write stalls ~12 s
+        # at high core counts (Python-RDD local relation; see util.py)
+        one_row_df(self.spark, stats).coalesce(1).write.parquet(
+            self._dir("metrics", wave_id)
+        )
+        trace("metrics written")
 
         # per-partition (host) lineage: which host-bucket produced what
         # in this wave — resumable audit trail (north rule)
@@ -514,6 +593,7 @@ class CrawlEngine:
                 .withColumn("depth", F.lit(depth))
             )
             lineage.coalesce(4).write.parquet(self._dir("lineage", wave_id))
+            trace("lineage written")
             wrote.append("lineage")
 
         hits.unpersist()

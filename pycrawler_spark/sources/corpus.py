@@ -253,7 +253,20 @@ def write_corpus(
             [("host", pa.string()), ("rules", pa.string()), ("crawl_delay", pa.float64())]
         ),
     )
-    pq.write_table(pages_tbl, out / "pages.parquet")
+    # many files + small row groups: Spark parallelizes parquet scans
+    # at file/row-group granularity — a single 1M-row-group file would
+    # serialize every downstream UDF stage onto one task. Real corpora
+    # are thousands of WARC-derived files; mirror that layout.
+    pages_dir = out / "pages.parquet"
+    pages_dir.mkdir(exist_ok=True)
+    n_files = max(1, min(64, len(pages) // 1500))
+    step = -(-len(pages) // n_files)
+    for i in range(n_files):
+        chunk = pages_tbl.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(
+                chunk, pages_dir / f"part-{i:04d}.parquet", row_group_size=512
+            )
     pq.write_table(seeds_tbl, out / "seeds.parquet")
     pq.write_table(robots_tbl, out / "robots.parquet")
     return (

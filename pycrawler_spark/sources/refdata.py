@@ -36,7 +36,16 @@ def load_disconnect(spark: SparkSession, path: str) -> DataFrame:
     homepage's eTLD+1 is added to the site set
     (prepare_database.py:43-48)."""
     raw = spark.read.option("multiLine", "true").json(path)
-    cats = raw.select(F.explode(F.col("categories")).alias("category", "entries"))
+    # read.json infers dynamic keys as STRUCT fields; re-parse as a
+    # typed map so the category/entity/homepage levels are explodable
+    cat_map_t = (
+        "map<string,array<map<string,map<string,array<string>>>>>"
+    )
+    cats = raw.select(
+        F.explode(
+            F.from_json(F.to_json(F.col("categories")), cat_map_t)
+        ).alias("category", "entries")
+    )
     ent = cats.select(
         "category", F.explode("entries").alias("entry")
     ).select("category", F.explode(F.col("entry")).alias("entity", "homes"))

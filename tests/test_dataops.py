@@ -1,0 +1,224 @@
+"""Training-data operators: dedup family, similarity search, media
+plumbing, refdata ingest, streaming."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the very lazy dog"),     # near dup
+        (3, "completely different text about spark partitions"),
+        (4, "another unrelated document mentioning shuffle joins"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from pycrawler_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 dropped, min-id kept
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from pycrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, shingle_k=1)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (0, 1) in pairs            # identical docs always collide
+    assert not any(                   # unrelated docs don't
+        (a, b) in pairs for a, b in [(0, 3), (0, 4), (3, 4)]
+    )
+
+
+def test_minhash_dedup_keeps_uniques(docs):
+    from pycrawler_spark.operators.dedup import minhash_dedup
+
+    kept = sorted(
+        r.doc_id for r in minhash_dedup(docs, shingle_k=1, bands=4).collect()
+    )
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept              # exact dup always dropped
+
+
+def test_jaccard_pairs(docs, spark):
+    from pycrawler_spark.operators.dedup import jaccard_pairs
+
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           jaccard_pairs(docs, cands, shingle_k=1).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out.get((0, 3), 0.0) < 0.2 or (0, 3) not in out
+
+
+def test_simhash_near_pairs(docs):
+    from pycrawler_spark.operators.dedup import simhash_near_pairs, simhash_table
+
+    sims = simhash_table(docs)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_pairs(sims, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0     # identical text -> identical simhash
+    assert (0, 3) not in pairs
+
+
+def test_similarity_brute_force_and_lsh_recall(spark):
+    import numpy as np
+
+    from pycrawler_spark.operators.similarity import (
+        add_lsh_bucket,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(0)
+    dim, n = 16, 400
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[7].tolist()
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    assert exact[0] == 7              # the query vector itself wins
+    bucketed = add_lsh_bucket(df, dim=dim, bits=6).cache()
+    approx = [r.vec_id for r in
+              lsh_topk(bucketed, q, k=10, bits=6, n_flip=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    bucketed.unpersist()
+
+
+def test_media_feature_plumbing(spark):
+    from pycrawler_spark.operators.media import extract_features, frame_sample
+
+    rows = [
+        (1, "u1", "image", "image/png", b"\x89PNGfake", {"w": "2"}),
+        (2, "u2", "video", "video/mp4", b"\x00mp4fake", {}),
+        (3, "u3", "audio", "audio/wav", None, {}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, url string, kind string, content_type string, "
+        "payload binary, meta map<string,string>",
+    )
+    feats = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert feats[1].decode_ok and len(feats[1].feature) == 16
+    assert feats[2].n_frames >= 1 and feats[2].duration_ms >= 0
+    assert feats[3].decode_ok  # empty payload still decodes (fake path)
+    # determinism
+    again = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert feats[1].feature == again[1].feature
+
+    frames = frame_sample(media, every_n=4, fake=True).collect()
+    assert all(r.frame_idx % 4 == 0 for r in frames)
+
+    # real path is stubbed: must raise NotImplementedError, not succeed
+    import pytest as _pt
+
+    from pycrawler_spark.operators.media import _real_decode
+
+    with _pt.raises(NotImplementedError):
+        _real_decode(b"x", "image")
+
+
+def test_refdata_ingest(spark, tmp_path):
+    from pycrawler_spark.sources.refdata import (
+        load_disconnect,
+        load_ocdb,
+        merge_flags,
+    )
+
+    services = {
+        "categories": {
+            "FingerprintingInvasive": [
+                {"FPCo": {"https://fp.example.com": ["fp.net", "fp2.net"]}}
+            ],
+            "Cryptomining": [
+                {"MineCo": {"https://mine.example.org": ["mine.biz"]}}
+            ],
+            "Advertising": [
+                {"AdCo": {"https://ads.example.com": ["ads.net"]}}
+            ],
+        }
+    }
+    (tmp_path / "services.json").write_text(json.dumps(services))
+    ocdb = {
+        "AdCo": [
+            {"category": "Marketing", "domain": ".track.adco.com"},
+            {"category": "Functional", "domain": "keep.adco.com"},
+        ],
+        "OtherCo": [{"category": "Analytics", "domain": "o.example.net"}],
+    }
+    (tmp_path / "ocdb.json").write_text(json.dumps(ocdb))
+
+    dis = load_disconnect(spark, str(tmp_path / "services.json"))
+    oc = load_ocdb(spark, str(tmp_path / "ocdb.json"))
+    ent, sites = merge_flags(dis.unionByName(oc))
+    e = {r.entity: r for r in ent.collect()}
+    assert e["FPCo"].fingerprinting and e["FPCo"].tracking
+    assert e["MineCo"].malicious and not e["MineCo"].fingerprinting
+    assert e["AdCo"].tracking and not e["AdCo"].malicious
+    s = {r.site: r for r in sites.collect()}
+    assert s["fp.net"].fingerprinting
+    # homepage eTLD+1 added (get_url_site of https://fp.example.com)
+    assert "example.com" in s
+    assert s["track.adco.com"].tracking   # dots stripped
+    assert "keep.adco.com" not in s       # Functional cookies excluded
+
+
+def test_streaming_watch_seeds(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.streaming.stream import watch_seeds
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=42, n_hosts=4, pages_per_host=8, mega_factor=2
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "job"), CrawlConfig(depth=1, max_urls=10), job="s"
+    )
+    # start with the first two seeds only
+    full = spark.read.parquet(seeds_p)
+    eng.init_job(full.filter(F.col("rank") <= 2), pages_p)
+    eng.run()
+    n0 = eng.table("fetches").count()
+
+    # stream in the remaining seeds as two files
+    seeds_dir = tmp_path / "incoming"
+    seeds_dir.mkdir()
+    rest = full.filter(F.col("rank") > 2).collect()
+    half = len(rest) // 2
+    for i, chunk in enumerate([rest[:half], rest[half:]]):
+        tbl = pa.Table.from_pylist(
+            [{"rank": r.rank, "url": r.url} for r in chunk],
+            schema=pa.schema([("rank", pa.int32()), ("url", pa.string())]),
+        )
+        pq.write_table(tbl, seeds_dir / f"batch{i}.parquet")
+
+    watch_seeds(eng, str(seeds_dir), available_now=True)
+    n1 = eng.table("fetches").count()
+    assert n1 > n0
+    tasks = eng._read("tasks", [max(eng._committed(eng._load_manifest(), "tasks"))])
+    assert tasks.count() == full.count() - 1  # bogus.invalidtld dropped
+
+    # replaying the same directory is a no-op (checkpoint + idempotent merge)
+    watch_seeds(eng, str(seeds_dir), available_now=True)
+    assert eng.table("fetches").count() == n1
