@@ -140,3 +140,19 @@ def test_resume_recomputes_interrupted_wave(spark, tmp_path):
     after = {(r.task_id, r.url, r.depth, r.repetition, r.code)
              for r in eng2.table("fetches").collect()}
     assert after == before
+
+
+def test_politeness_preserves_order_and_sets(spark, tmp_path):
+    """Politeness sub-waves split a depth level across waves but must
+    preserve per-task visit order (seq-prefix property) and the final
+    frontier/seen state — the simulator knows nothing about politeness,
+    so equality proves the splitting is semantically invisible."""
+    cfg = CrawlConfig(depth=2, max_urls=25, politeness=True,
+                      wave_interval_ms=18000)  # 3 pages/host/wave
+    eng, sim = _run_both(spark, tmp_path, cfg)
+    assert _visits(eng) == sim.visits
+    assert _seen(eng) == {t: s for t, s in sim.seen.items() if s}
+    # politeness actually split depths into multiple waves
+    waves = eng._load_manifest()["waves"]
+    depths = [w["depth"] for w in waves if w["depth"] >= 0]
+    assert len(depths) > len(set(depths)), "expected sub-waves"
