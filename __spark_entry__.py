@@ -820,6 +820,58 @@ def _o28():
     """
 
 
+def _q29_rollup(spark, sf):
+    """ROLLUP grouping-set aggregation over the dim-join chain."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _o29():
+    return """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """
+
+
+def _q30_decompress_roundtrip(spark, sf):
+    """X8 decompress: zlib round-trip over document text (the
+    reference stubs decompress, utils.py:337-339; ours is real).
+    Oracle: the round-trip must reproduce the original text."""
+    from pycrawler_spark.functions.udfs import decompress_udf, zlib_compress_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.decode(
+            decompress_udf(zlib_compress_udf(F.encode(F.col("text"), "utf-8"))),
+            "utf-8",
+        ).alias("roundtrip"),
+    )
+
+
+def _o30():
+    return "SELECT doc_id, text AS roundtrip FROM documents"
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -922,6 +974,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_simhash_hamming": _q26_simhash_hamming,
     "q27_host_bucket": _q27_host_bucket,
     "q28_shingles": _q28_shingles,
+    "q29_rollup": _q29_rollup,
+    "q30_decompress_roundtrip": _q30_decompress_roundtrip,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -956,6 +1010,8 @@ _ORACLES: dict[str, str] = {
     "q26_simhash_hamming": _o26(),
     "q27_host_bucket": _o27(),
     "q28_shingles": _o28(),
+    "q29_rollup": _o29(),
+    "q30_decompress_roundtrip": _o30(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

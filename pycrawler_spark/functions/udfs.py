@@ -152,6 +152,22 @@ def winnow_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: textkit.winnow_fingerprint(t) if t is not None else None)
 
 
+@pandas_udf(T.BinaryType())
+def decompress_udf(data: pd.Series) -> pd.Series:
+    """X8 decompress — the reference stubs this (utils.py:337-339);
+    ours handles zlib/gzip/raw-deflate."""
+    return data.map(lambda b: textkit.decompress(bytes(b)) if b is not None else None)
+
+
+@pandas_udf(T.BinaryType())
+def zlib_compress_udf(data: pd.Series) -> pd.Series:
+    """Deterministic zlib compress (level 6) — test/fixture helper for
+    the decompress path."""
+    import zlib
+
+    return data.map(lambda b: zlib.compress(bytes(b), 6) if b is not None else None)
+
+
 # --- JVM-side helpers (kept out of Python on purpose) ----------------------
 
 def det_shuffle_key(col, seed: str):

@@ -516,18 +516,31 @@ class CrawlEngine:
                     "from_url",
                 )
             )
-            new_frontier.repartition(cfg.host_buckets, "host").write.parquet(
-                self._dir("frontier", wave_id)
-            )
+            # hot-host salting (north rule): hash-distributing by host
+            # alone would put a mega-host's entire wave in one
+            # partition; the salt spreads each host over salt_buckets
+            # partitions while keeping host locality for pruning
+            # (Iceberg: bucket(host_buckets, host) + bucket(salt) sort)
+            from pycrawler_spark.functions.udfs import host_bucket
+
+            new_frontier.repartition(
+                cfg.host_buckets,
+                host_bucket(F.col("host"), cfg.host_buckets),
+                F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
+            ).write.parquet(self._dir("frontier", wave_id))
             trace("frontier written")
             # per-wave seen delta: wave-internal distinct only. Replays
             # of keys already in older deltas are harmless — every
             # consumer (bloom build, semi-join, kernel set) is
             # idempotent on duplicates — so no cross-history anti-join.
             seen_delta = kout.select("task_id", "url_norm").distinct()
-            seen_delta.repartition(cfg.host_buckets, "task_id").write.parquet(
-                self._dir("seen", wave_id)
-            )
+            # salted like the frontier: a mega-task's seen keys would
+            # otherwise land in one partition
+            seen_delta.repartition(
+                cfg.host_buckets,
+                "task_id",
+                F.pmod(F.xxhash64("url_norm"), F.lit(cfg.salt_buckets)),
+            ).write.parquet(self._dir("seen", wave_id))
             trace("seen written")
             # budgets + wave counters in ONE small job on the cached
             # kernel output; the per-task merge happens driver-side

@@ -167,6 +167,22 @@ def hashes(data: bytes) -> Dict[str, str]:
     }
 
 
+# --- X8: decompress (utils.py:337-339 is a stub returning b'' — we
+# implement it properly: zlib, gzip, and raw-deflate attempted in order) ---
+
+def decompress(data: bytes) -> bytes:
+    import zlib
+
+    if not data:
+        return b""
+    for wbits in (zlib.MAX_WBITS, zlib.MAX_WBITS | 16, -zlib.MAX_WBITS):
+        try:
+            return zlib.decompress(data, wbits)
+        except zlib.error:
+            continue
+    return b""
+
+
 # --- language ID (training-data operator; stopword-ratio heuristic) -------
 
 def detect_lang(text: str, candidates: Optional[List[str]] = None) -> str:

@@ -116,3 +116,38 @@ def test_exchange_reuse_in_minhash(spark):
     plan = _plan(E.queries()["q12_minhash_dup_pairs"](spark, SF))
     # ReusedExchange proves the signature subplan is shared
     assert "ReusedExchange" in plan or plan.count("FileScan parquet") <= 4
+
+
+def test_hot_host_salting_bounds_partitions(spark):
+    """90%-skewed host distribution must not serialize into one
+    partition: the salted repartition spreads the mega-host over
+    salt_buckets partitions."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.functions.udfs import host_bucket
+
+    cfg = CrawlConfig()
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("mega.com"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string"), F.lit(".com")))
+        .alias("host"),
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+    )
+    salted = df.repartition(
+        cfg.host_buckets,
+        host_bucket(F.col("host"), cfg.host_buckets),
+        F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
+    )
+    sizes = (
+        salted.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    biggest = max(r["count"] for r in sizes)
+    assert biggest < 10_000 * 0.35, f"skewed partition: {biggest}"  # ~562/salt-cell, <=4 cells/partition
+    # unsalted control: mega host collapses into one partition
+    unsalted = df.repartition(cfg.host_buckets, "host")
+    control = max(
+        r["count"]
+        for r in unsalted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert control >= 9_000
