@@ -41,7 +41,6 @@ from pycrawler_spark.functions.udfs import (
     login_form_udf,
     normalize_url_udf,
     parse_url_udf,
-    tokenize_udf,
 )
 from pycrawler_spark.operators.links import candidate_links, dedup_budget_kernel
 from pycrawler_spark.operators.scheduler import schedule_wave
@@ -186,7 +185,8 @@ class CrawlEngine:
                 "next_wave": 1,
                 "depth": 0,
                 "waves": [
-                    {"wave_id": 0, "depth": -1, "tables": wave0_tables}
+                    {"wave_id": 0, "depth": -1, "kind": "seeds",
+                     "tables": wave0_tables}
                 ],
             }
         )
@@ -292,7 +292,8 @@ class CrawlEngine:
             self._dir("frontier", wave_id)
         )
         m["waves"].append(
-            {"wave_id": wave_id, "depth": -1, "tables": tables, "found": 0}
+            {"wave_id": wave_id, "depth": -1, "kind": "seeds",
+             "tables": tables, "found": 0}
         )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)
@@ -333,11 +334,18 @@ class CrawlEngine:
                       flush=True)
                 _last[0] = now
 
+        seed_waves = [w["wave_id"] for w in m["waves"]
+                      if w.get("kind") == "seeds"]
+        last_seed_wave = max(seed_waves) if seed_waves else -1
         if not (cfg.politeness or cfg.obey_robots) and any(
-            w["depth"] == depth for w in m["waves"]
+            w["depth"] == depth and w["wave_id"] > last_seed_wave
+            for w in m["waves"]
         ):
-            # without politeness a depth is exactly one atomic wave;
-            # a committed wave at this depth means it is done (resume path)
+            # without politeness a depth is exactly one atomic wave; a
+            # fetch wave at this depth committed AFTER the latest seed
+            # ingest means it is done (resume path). Newer add_seeds
+            # reopen every depth (their landing/injected rows must be
+            # crawled), hence the last_seed_wave cutoff.
             return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
                     "blocked": 0, "exhausted": True}
 
@@ -615,8 +623,8 @@ class CrawlEngine:
             sched.unpersist()
 
         m["waves"].append(
-            {"wave_id": wave_id, "depth": depth, "tables": wrote,
-             "found": n_found}
+            {"wave_id": wave_id, "depth": depth, "kind": "fetch",
+             "tables": wrote, "found": n_found}
         )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)

@@ -80,6 +80,10 @@ def stream_fetch_metrics(
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
+        # one file per micro-batch so the watermark advances between
+        # batches; a single drain-everything batch would never flush
+        # any window in append mode
+        .option("maxFilesPerTrigger", 1)
         .parquet(fetches_glob)
         # no event time on fetches (the reference has none either,
         # SURVEY.md §2.9): derive processing-order pseudo event time
@@ -88,7 +92,7 @@ def stream_fetch_metrics(
             "event_ts",
             F.timestamp_seconds(F.lit(1735689600) + F.col("wave_id") * 60),
         )
-        .withWatermark("event_ts", "10 minutes")
+        .withWatermark("event_ts", "0 seconds")
     )
     agg = stream.groupBy(
         F.window("event_ts", window).alias("w"), "host"

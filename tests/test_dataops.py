@@ -222,3 +222,34 @@ def test_streaming_watch_seeds(spark, tmp_path):
     # replaying the same directory is a no-op (checkpoint + idempotent merge)
     watch_seeds(eng, str(seeds_dir), available_now=True)
     assert eng.table("fetches").count() == n1
+
+
+def test_streaming_fetch_metrics(spark, tmp_path):
+    """Windowed + watermarked streaming aggregation over the engine's
+    fetches log (S5/T2 analog), availableNow trigger."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.streaming.stream import stream_fetch_metrics
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=3, n_hosts=3, pages_per_host=8, mega_factor=1
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "job"), CrawlConfig(depth=1, max_urls=10), job="m"
+    )
+    eng.init_job(spark.read.parquet(seeds_p), pages_p)
+    eng.run()
+    out = str(tmp_path / "metrics_out")
+    stream_fetch_metrics(spark, str(tmp_path / "job"), out, available_now=True)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert rows and {"window_start", "host", "n_fetches", "n_ok"} <= set(got.columns)
+    # append-mode watermark semantics: every closed window is emitted;
+    # the final wave's window stays open when the stream drains
+    total = sum(r.n_fetches for r in rows)
+    last_wave = eng._load_manifest()["waves"][-1]["wave_id"]
+    expected = eng.table("fetches").filter(
+        F.col("wave_id") < last_wave
+    ).count()
+    assert total == expected and expected > 0
