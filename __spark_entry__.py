@@ -872,6 +872,29 @@ def _o30():
     return "SELECT doc_id, text AS roundtrip FROM documents"
 
 
+def _q31_json_extract(spark, sf):
+    """Semi-structured access: the reference stores headers as JSON
+    strings (SaveURL.py:71-72); same pattern over events.props."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_val"),
+    ).groupBy("k_val").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("k_val") * 1.0, 1).alias("k_sum"),
+    )
+
+
+def _o31():
+    return """
+    SELECT k_val, count(*) AS n, round(sum(k_val) * 1.0, 1) AS k_sum
+    FROM (SELECT event_id,
+                 CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
+          FROM events)
+    GROUP BY k_val
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -976,6 +999,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_shingles": _q28_shingles,
     "q29_rollup": _q29_rollup,
     "q30_decompress_roundtrip": _q30_decompress_roundtrip,
+    "q31_json_extract": _q31_json_extract,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1012,6 +1036,7 @@ _ORACLES: dict[str, str] = {
     "q28_shingles": _o28(),
     "q29_rollup": _o29(),
     "q30_decompress_roundtrip": _o30(),
+    "q31_json_extract": _o31(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

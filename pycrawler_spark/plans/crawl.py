@@ -100,6 +100,35 @@ class CrawlEngine:
     def _committed(self, m: Dict, table: str) -> List[int]:
         return [w["wave_id"] for w in m["waves"] if table in w["tables"]]
 
+    def _write_pandas(self, pdf, table: str, wave: int) -> None:
+        """Driver-side parquet write for tiny tables (tasks/metrics/
+        lineage): one file, no Spark job, same directory layout."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._dir(table, wave)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(d, "part-00000.parquet"),
+        )
+
+    def _frontier_profile(self, frontier: DataFrame):
+        """(per-task max seq, per-depth insert counts) of a frontier
+        delta — one small aggregation, run once per seed ingest."""
+        rows = (
+            frontier.filter(F.col("repetition") == 1)
+            .groupBy("task_id", "depth")
+            .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+            .collect()
+        )
+        per_task: Dict[int, int] = {}
+        per_depth: Dict[str, int] = {}
+        for r in rows:
+            per_task[r.task_id] = max(per_task.get(r.task_id, 0), r.mx)
+            per_depth[str(r.depth)] = per_depth.get(str(r.depth), 0) + r.n
+        return per_task, per_depth
+
     # ----- job init (S1 seed ingest, add_tasks_tranco.py:16-52) -----------
 
     def _derive_tasks(self, seeds: DataFrame) -> DataFrame:
@@ -174,10 +203,15 @@ class CrawlEngine:
             frontier0, seen0 = self._login_injection(tasks, frontier0)
             seen0.repartition(1).write.parquet(self._dir("seen", 0))
             wave0_tables.append("seen")
-        tasks.coalesce(1).write.parquet(self._dir("tasks", 0))
+        frontier0 = frontier0.cache()
         frontier0.repartition(self.cfg.host_buckets, "host").write.parquet(
             self._dir("frontier", 0)
         )
+        per_task_max, per_depth = self._frontier_profile(frontier0)
+        frontier0.unpersist()
+        tp = tasks.toPandas()
+        tp["max_seq"] = tp["task_id"].map(per_task_max).fillna(0).astype("int64")
+        self._write_pandas(tp, "tasks", 0)
         self._save_manifest(
             {
                 "job": self.job,
@@ -186,7 +220,8 @@ class CrawlEngine:
                 "depth": 0,
                 "waves": [
                     {"wave_id": 0, "depth": -1, "kind": "seeds",
-                     "tables": wave0_tables}
+                     "tables": wave0_tables,
+                     "inserts_by_depth": per_depth}
                 ],
             }
         )
@@ -285,15 +320,22 @@ class CrawlEngine:
             frontier_new, seen_new = self._login_injection(new_tasks, frontier_new)
             seen_new.repartition(1).write.parquet(self._dir("seen", wave_id))
             tables.append("seen")
-        latest.unionByName(new_tasks).coalesce(1).write.parquet(
-            self._dir("tasks", wave_id)
-        )
+        frontier_new = frontier_new.cache()
         frontier_new.repartition(self.cfg.host_buckets, "host").write.parquet(
             self._dir("frontier", wave_id)
         )
+        per_task_max, per_depth = self._frontier_profile(frontier_new)
+        frontier_new.unpersist()
+        ntp = new_tasks.toPandas()
+        ntp["max_seq"] = ntp["task_id"].map(per_task_max).fillna(0).astype("int64")
+        import pandas as _pd
+
+        merged = _pd.concat([latest.toPandas(), ntp], ignore_index=True)
+        self._write_pandas(merged, "tasks", wave_id)
         m["waves"].append(
             {"wave_id": wave_id, "depth": -1, "kind": "seeds",
-             "tables": tables, "found": 0}
+             "tables": tables, "found": 0,
+             "inserts_by_depth": per_depth}
         )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)
@@ -334,57 +376,67 @@ class CrawlEngine:
                       flush=True)
                 _last[0] = now
 
-        seed_waves = [w["wave_id"] for w in m["waves"]
-                      if w.get("kind") == "seeds"]
-        last_seed_wave = max(seed_waves) if seed_waves else -1
-        if not (cfg.politeness or cfg.obey_robots) and any(
-            w["depth"] == depth and w["wave_id"] > last_seed_wave
-            for w in m["waves"]
-        ):
-            # without politeness a depth is exactly one atomic wave; a
-            # fetch wave at this depth committed AFTER the latest seed
-            # ingest means it is done (resume path). Newer add_seeds
-            # reopen every depth (their landing/injected rows must be
-            # crawled), hence the last_seed_wave cutoff.
-            return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
-                    "blocked": 0, "exhausted": True}
-
-        frontier = self._read("frontier", self._committed(m, "frontier"))
-
-        free_d = frontier.filter(
-            (F.col("depth") == depth) & (F.col("repetition") == 1)
-        )
         use_scheduler = cfg.politeness or cfg.obey_robots
-        # the already-fetched anti-join is only needed when a depth can
-        # be split across waves (politeness sub-waves); without the
-        # scheduler each depth is exactly one atomic wave
-        if use_scheduler:
+        frontier_waves = self._committed(m, "frontier")
+
+        if not use_scheduler:
+            # Atomic-depth mode, zero scheduling jobs: the manifest
+            # records how many rows each wave inserted at each depth,
+            # so the eligible set is exactly the frontier deltas newer
+            # than the last fetch wave at this depth (a later seed
+            # ingest reopens the depth with only its OWN rows — never
+            # refetching the already-crawled ones).
+            fetch_ids = [w["wave_id"] for w in m["waves"]
+                         if w.get("kind") == "fetch" and w["depth"] == depth]
+            last_fetch = max(fetch_ids) if fetch_ids else -1
+            n_sched = 0
+            for w in m["waves"]:
+                if w["wave_id"] <= last_fetch:
+                    continue
+                if w.get("kind") == "seeds":
+                    n_sched += w.get("inserts_by_depth", {}).get(str(depth), 0)
+                elif w.get("kind") == "fetch" and w.get("insert_depth") == depth:
+                    n_sched += w.get("n_inserted", 0)
+            if n_sched == 0:
+                return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
+                        "blocked": 0, "exhausted": True}
+            rel_waves = [x for x in frontier_waves if x > last_fetch]
+            frontier = self._read("frontier", rel_waves)
+            wave = frontier.filter(
+                (F.col("depth") == depth) & (F.col("repetition") == 1)
+            ).select(
+                "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"
+            ).cache()
+            blocked = None
+            n_blocked = 0
+        else:
+            frontier = self._read("frontier", frontier_waves)
+            free_d = frontier.filter(
+                (F.col("depth") == depth) & (F.col("repetition") == 1)
+            )
+            # a depth spans several politeness sub-waves: drop rows
+            # already fetched in earlier sub-waves
             fetches_prev = self._read("fetches", self._committed(m, "fetches"))
             if fetches_prev is not None:
                 done = fetches_prev.filter(F.col("depth") == depth).select(
                     "task_id", "url_norm"
                 ).distinct()
                 free_d = free_d.join(done, ["task_id", "url_norm"], "left_anti")
-        if use_scheduler:
             sched = schedule_wave(
                 free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots
             ).cache()
-            wave = sched.filter(F.col("granted"))
+            wave = sched.filter(F.col("granted")).select(
+                "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"
+            ).cache()
             blocked = sched.filter(F.col("blocked"))
-        else:
-            wave = free_d
-            blocked = None
-
-        wave = wave.select(
-            "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"
-        ).cache()
-        n_sched = wave.count()
-        n_blocked = blocked.count() if blocked is not None else 0
+            n_sched = wave.count()
+            n_blocked = blocked.count()
+            if n_sched == 0 and n_blocked == 0:
+                wave.unpersist()
+                sched.unpersist()
+                return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
+                        "blocked": 0, "exhausted": True}
         trace(f"schedule ({n_sched} urls)")
-        if n_sched == 0 and n_blocked == 0:
-            wave.unpersist()
-            return {"wave_id": wave_id, "depth": depth, "scheduled": 0,
-                    "blocked": 0, "exhausted": True}
 
         # --- fetch = corpus equi-join (S4/J6; replaces crawler.py:165) ----
         pages = self.spark.read.parquet(self.pages_path).select(
@@ -508,9 +560,13 @@ class CrawlEngine:
 
             links = kout.filter(F.col("kind") == "link")
             inserted = links.filter(F.col("inserted"))
-            bases = frontier.groupBy("task_id").agg(F.max("seq").alias("base"))
+            # per-task seq base comes from the tasks snapshot (updated
+            # each wave) — no frontier-wide max-scan per wave
+            bases = tasks_dim.select(
+                "task_id", F.col("max_seq").alias("base")
+            )
             new_frontier = (
-                inserted.join(bases, "task_id")
+                inserted.join(F.broadcast(bases), "task_id")
                 .select(
                     "task_id",
                     "url",
@@ -564,20 +620,41 @@ class CrawlEngine:
             n_found = int(agg["n_found"].sum())
             n_inserted = int(agg["n_ins"].sum())
             tp = tasks_dim.toPandas()
-            tp = tp.merge(agg[["task_id", "n_found"]], on="task_id", how="left")
+            tp = tp.merge(agg, on="task_id", how="left")
             tp["budget"] = (
                 (tp["budget"] - tp["n_found"].fillna(0)).clip(lower=0).astype("int32")
             )
-            tp = tp.drop(columns=["n_found"])
-            self.spark.createDataFrame(tp).coalesce(1).write.parquet(
-                self._dir("tasks", wave_id)
-            )
+            tp["max_seq"] = (
+                tp["max_seq"] + tp["n_ins"].fillna(0)
+            ).astype("int64")
+            tp = tp.drop(columns=["n_found", "n_ins"])
+            self._write_pandas(tp, "tasks", wave_id)
             trace("tasks written")
             kout.unpersist()
             cands.unpersist()
             wrote += ["frontier", "seen", "tasks"]
 
-        n_hits = hits.count()
+        # one small read-back agg over the freshly written fetch wave
+        # yields BOTH the per-host lineage rows and the hit count —
+        # no recomputation of the fetch join
+        from pycrawler_spark.functions.udfs import host_bucket
+
+        fdf = self.spark.read.parquet(self._dir("fetches", wave_id))
+        lin_rows = (
+            fdf.filter(F.col("repetition") == 1)
+            .groupBy(
+                host_bucket(F.col("host"), cfg.host_buckets).alias("bucket"),
+                "host",
+            )
+            .agg(
+                F.count("*").alias("n_scheduled"),
+                F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias("n_ok"),
+                F.min("seq").alias("seq_lo"),
+                F.max("seq").alias("seq_hi"),
+            )
+            .collect()
+        )
+        n_hits = sum(r.n_ok for r in lin_rows)
         trace("hits count")
         wall = time.monotonic() - t0
         stats = {
@@ -593,27 +670,23 @@ class CrawlEngine:
             "urls_per_sec": round((n_sched + n_found) / max(wall, 1e-9), 1),
             "exhausted": False,
         }
-        # Arrow path: a Python-list createDataFrame write stalls ~12 s
-        # at high core counts (Python-RDD local relation; see util.py)
-        one_row_df(self.spark, stats).coalesce(1).write.parquet(
-            self._dir("metrics", wave_id)
-        )
+        import pandas as _pd
+
+        self._write_pandas(_pd.DataFrame([stats]), "metrics", wave_id)
         trace("metrics written")
 
         # per-partition (host) lineage: which host-bucket produced what
-        # in this wave — resumable audit trail (north rule)
+        # in this wave — resumable audit trail (north rule); rows were
+        # already aggregated above
         if cfg.lineage:
-            from pycrawler_spark.functions.udfs import host_bucket
-
-            lineage = (
-                wave.withColumn("bucket", host_bucket(F.col("host"), cfg.host_buckets))
-                .groupBy("bucket", "host")
-                .agg(F.count("*").alias("n_scheduled"), F.min("seq").alias("seq_lo"),
-                     F.max("seq").alias("seq_hi"))
-                .withColumn("wave_id", F.lit(wave_id))
-                .withColumn("depth", F.lit(depth))
+            lp = _pd.DataFrame(
+                [r.asDict() for r in lin_rows],
+                columns=["bucket", "host", "n_scheduled", "n_ok",
+                         "seq_lo", "seq_hi"],
             )
-            lineage.coalesce(4).write.parquet(self._dir("lineage", wave_id))
+            lp["wave_id"] = wave_id
+            lp["depth"] = depth
+            self._write_pandas(lp, "lineage", wave_id)
             trace("lineage written")
             wrote.append("lineage")
 
@@ -624,7 +697,8 @@ class CrawlEngine:
 
         m["waves"].append(
             {"wave_id": wave_id, "depth": depth, "kind": "fetch",
-             "tables": wrote, "found": n_found}
+             "tables": wrote, "found": n_found,
+             "insert_depth": depth + 1, "n_inserted": n_inserted}
         )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)
