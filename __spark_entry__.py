@@ -881,13 +881,14 @@ def _q31_json_extract(spark, sf):
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_val"),
     ).groupBy("k_val").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("k_val") * 1.0, 1).alias("k_sum"),
+        F.sum("k_val").cast("long").alias("k_sum"),
     )
 
 
 def _o31():
     return """
-    SELECT k_val, count(*) AS n, round(sum(k_val) * 1.0, 1) AS k_sum
+    SELECT k_val, count(*) AS n,
+           CAST(sum(k_val) AS BIGINT) AS k_sum
     FROM (SELECT event_id,
                  CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
           FROM events)

@@ -33,10 +33,12 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
+        import decimal
+
         if v is None:
             return "\\N"
-        if isinstance(v, float):
-            return f"{v:.9g}"
+        if isinstance(v, (float, decimal.Decimal)):
+            return f"{float(v):.9g}"
         if isinstance(v, bytes):
             return v.hex()
         return str(v)
