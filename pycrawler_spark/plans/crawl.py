@@ -45,7 +45,7 @@ from pycrawler_spark.functions.udfs import (
 from pycrawler_spark.operators.links import candidate_links, dedup_budget_kernel
 from pycrawler_spark.operators.scheduler import schedule_wave
 from pycrawler_spark.operators.seen import relevant_seen
-from pycrawler_spark.util import empty_df, one_row_df
+from pycrawler_spark.util import empty_df
 
 REDIRECT_T = "array<struct<url:string,code:int,location:string>>"
 
