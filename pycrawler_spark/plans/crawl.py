@@ -724,6 +724,58 @@ class CrawlEngine:
             depth += 1
         return all_stats
 
+    # ----- compaction (scale hygiene; Iceberg rewrite_data_files analog) ----
+
+    def compact(self, tables=("frontier", "seen", "fetches")) -> Dict[str, int]:
+        """Merge each table's per-wave delta directories into one
+        salted host-bucketed snapshot at ``wave=00000`` and rewrite the
+        manifest so every prior wave entry points at the snapshot.
+
+        Long crawls accumulate one directory per wave (10^4 waves →
+        10^4 file listings per read on a 10^10 frontier); compaction
+        restores O(1) read fan-in without changing any table contents.
+        Crash-safe: the snapshot is written to a temp dir first, the
+        manifest swap is the commit point, old deltas are removed last.
+        """
+        m = self._load_manifest()
+        out: Dict[str, int] = {}
+        for table in tables:
+            waves = self._committed(m, table)
+            if len(waves) <= 1:
+                continue
+            df = self._read(table, waves)
+            if df is None:
+                continue
+            tmp = os.path.join(self.workdir, table, "_compact_tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            key = "host" if "host" in df.columns else "task_id"
+            salt_col = "url_norm" if "url_norm" in df.columns else (
+                "url" if "url" in df.columns else key
+            )
+            (
+                df.repartition(
+                    self.cfg.host_buckets,
+                    F.col(key),
+                    F.pmod(F.xxhash64(salt_col), F.lit(self.cfg.salt_buckets)),
+                ).write.mode("overwrite").parquet(tmp)
+            )
+            n = self.spark.read.parquet(tmp).count()
+            out[table] = n
+            # commit: swap dirs, then rewrite manifest table pointers
+            final = self._dir(table, 0)
+            old_dirs = [self._dir(table, w) for w in waves if w != 0]
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+            for w in m["waves"]:
+                if table in w["tables"] and w["wave_id"] != 0:
+                    w["tables"] = [t for t in w["tables"] if t != table]
+            if table not in m["waves"][0]["tables"]:
+                m["waves"][0]["tables"].append(table)
+            self._save_manifest(m)
+            for d in old_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        return out
+
     # ----- result accessors ----------------------------------------------------
 
     def table(self, name: str) -> Optional[DataFrame]:

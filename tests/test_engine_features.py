@@ -156,3 +156,49 @@ def test_politeness_preserves_order_and_sets(spark, tmp_path):
     waves = eng._load_manifest()["waves"]
     depths = [w["depth"] for w in waves if w["depth"] >= 0]
     assert len(depths) > len(set(depths)), "expected sub-waves"
+
+
+def test_compaction_preserves_state_and_future_ingest(spark, tmp_path):
+    """compact() merges per-wave deltas into one snapshot without
+    changing table contents; a later streamed seed ingest still crawls
+    only its own rows."""
+    import os
+
+    cfg = CrawlConfig(depth=2, max_urls=20)
+    kw = dict(seed=42, n_hosts=4, pages_per_host=10, mega_factor=2)
+    pages_p, seeds_p, _ = write_corpus(str(tmp_path / "c"), **kw)
+    full = spark.read.parquet(seeds_p)
+    eng = CrawlEngine(spark, str(tmp_path / "job"), cfg.copy(), job="t")
+    eng.init_job(full.filter(F.col("rank") <= 3), pages_p)
+    eng.run()
+
+    def snap(e):
+        return {
+            "frontier": {tuple(r) for r in e.table("frontier")
+                         .select("task_id", "url", "depth", "repetition", "seq")
+                         .collect()},
+            "seen": {tuple(r) for r in e.table("seen").collect()},
+            "fetches": {tuple(r) for r in e.table("fetches")
+                        .select("task_id", "url", "depth", "repetition",
+                                "code", "seq").collect()},
+        }
+
+    before = snap(eng)
+    n_dirs_before = len(os.listdir(str(tmp_path / "job" / "frontier")))
+    out = eng.compact()
+    assert out["frontier"] > 0
+    n_dirs_after = len(os.listdir(str(tmp_path / "job" / "frontier")))
+    assert n_dirs_after == 1 < n_dirs_before
+    assert snap(eng) == before
+
+    # streamed-in seeds after compaction: only the new tasks crawl
+    n_old = eng.table("fetches").filter(F.col("task_id").isin([1, 2, 3])).count()
+    eng.add_seeds(full.filter(F.col("rank") > 3))
+    eng.run()
+    assert eng.table("fetches").filter(
+        ~F.col("task_id").isin([1, 2, 3])
+    ).count() > 0
+    # old tasks were not refetched
+    assert eng.table("fetches").filter(
+        F.col("task_id").isin([1, 2, 3])
+    ).count() == n_old
