@@ -896,6 +896,28 @@ def _o31():
     """
 
 
+def _q32_correlated_above_avg(spark, sf):
+    """Correlated-subquery shape (TPC-H Q17-style): orders 1.5x above
+    their customer's average order value."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _o32():
+    return """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1001,6 +1023,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_rollup": _q29_rollup,
     "q30_decompress_roundtrip": _q30_decompress_roundtrip,
     "q31_json_extract": _q31_json_extract,
+    "q32_correlated_above_avg": _q32_correlated_above_avg,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1038,6 +1061,7 @@ _ORACLES: dict[str, str] = {
     "q29_rollup": _o29(),
     "q30_decompress_roundtrip": _o30(),
     "q31_json_extract": _o31(),
+    "q32_correlated_above_avg": _o32(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead
