@@ -918,6 +918,103 @@ def _o32():
     """
 
 
+def _q33_dominant_supplier(spark, sf):
+    """Nested-aggregate shape (TPC-H Q20-style): suppliers that shipped
+    more than 1/6 of a part's total shipped quantity — agg, windowed
+    second-level agg, share predicate, dim join. (Threshold chosen so
+    the oracle is non-empty at sf0.01: supplier keys are uniform, so
+    majority shares never occur at scale.)"""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = per.withColumn("part_qty", F.sum("qty").over(w)).filter(
+        F.col("qty") * 6 > F.col("part_qty")
+    )
+    return dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("s_name").alias("supplier_name"),
+        "qty",
+        "part_qty",
+    )
+
+
+def _o33():
+    return """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), d AS (
+      SELECT l_partkey, l_suppkey, qty,
+             sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM per
+    )
+    SELECT l_partkey AS partkey, s_name AS supplier_name, qty, part_qty
+    FROM d JOIN supplier ON l_suppkey = s_suppkey
+    WHERE qty * 6 > part_qty
+    """
+
+
+def _q34_cheapest_supplier(spark, sf):
+    """Correlated-min shape (TPC-H Q2-style): per part, the supplier of
+    its minimum-price lineitem (join back against a per-group min;
+    ties broken by lowest suppkey)."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    mn = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    best = (
+        li.join(mn, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("suppkey"))
+    )
+    return best.join(F.broadcast(s), best.suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("partkey"),
+        "suppkey",
+        F.col("s_name").alias("supplier_name"),
+        F.round("min_price", 2).alias("min_price"),
+    )
+
+
+def _o34():
+    return """
+    WITH mn AS (
+      SELECT l_partkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ), b AS (
+      SELECT l.l_partkey, min(l.l_suppkey) AS suppkey, mn.min_price
+      FROM lineitem l
+      JOIN mn ON l.l_partkey = mn.l_partkey
+             AND l.l_extendedprice = mn.min_price
+      GROUP BY l.l_partkey, mn.min_price
+    )
+    SELECT b.l_partkey AS partkey, b.suppkey, s.s_name AS supplier_name,
+           round(b.min_price, 2) AS min_price
+    FROM b JOIN supplier s ON b.suppkey = s.s_suppkey
+    """
+
+
+def _q35_cube(spark, sf):
+    """CUBE grouping sets over orders (beyond the reference's ROLLUP:
+    all 4 grouping combinations)."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _o35():
+    return """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1024,6 +1121,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_decompress_roundtrip": _q30_decompress_roundtrip,
     "q31_json_extract": _q31_json_extract,
     "q32_correlated_above_avg": _q32_correlated_above_avg,
+    "q33_dominant_supplier": _q33_dominant_supplier,
+    "q34_cheapest_supplier": _q34_cheapest_supplier,
+    "q35_cube": _q35_cube,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1062,6 +1162,9 @@ _ORACLES: dict[str, str] = {
     "q30_decompress_roundtrip": _o30(),
     "q31_json_extract": _o31(),
     "q32_correlated_above_avg": _o32(),
+    "q33_dominant_supplier": _o33(),
+    "q34_cheapest_supplier": _o34(),
+    "q35_cube": _o35(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

@@ -26,6 +26,15 @@ class CrawlConfig:
 
     repetitions: int = 1            # REPETITIONS (O3, database.py:317-320)
 
+    # -- redirects (K2/J5, modules/SaveURL.py:80-126) --------------------
+    # Corpus-mode redirect chains: zero-delay meta-refresh stubs are
+    # followed like the browser follows 3xx hops (crawler.py:145-150).
+    # After max_redirects hops the current stub is treated as the final
+    # page (the browser analog: goto returns the first document of an
+    # endless refresh loop).
+    follow_meta_refresh: bool = True
+    max_redirects: int = 5
+
     # -- prioritization (config-example.py:58-59) ----------------------
     first_and_last: bool = False    # FIRST_AND_LAST (O5)
     adult_filter: bool = False      # ADULT_FILTER   (F7/F9)

@@ -110,6 +110,19 @@ def login_form_udf(html: pd.Series) -> pd.Series:
     return html.map(htmlkit.detect_login_form)
 
 
+@pandas_udf(T.StringType())
+def refresh_target_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """K2/J5 redirect hop: zero-delay meta-refresh target, absolute
+    (corpus-mode stand-in for the Playwright redirect chain,
+    crawler.py:145-150)."""
+    return pd.Series(
+        [
+            htmlkit.meta_refresh_target(h, b)
+            for h, b in zip(html, base_url)
+        ]
+    )
+
+
 @pandas_udf(T.BooleanType())
 def cookie_banner_udf(html: pd.Series) -> pd.Series:
     """M5 AcceptCookies keyword detection (AcceptCookies.py:19-25,86-110)."""

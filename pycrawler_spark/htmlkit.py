@@ -98,6 +98,61 @@ def extract_meta_http_equiv(html: "bytes | str | None") -> List[str]:
     return [m.group(0) for m in _META_HTTP_EQUIV_RE.finditer(doc)]
 
 
+# --- K2/J5: meta-refresh redirect target --------------------------------
+
+_REFRESH_CONTENT_RE = re.compile(
+    r"""\bcontent\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_REFRESH_URL_RE = re.compile(
+    r"^\s*0+\s*;\s*url\s*=\s*(['\"]?)(.*?)\1\s*$", re.I | re.S
+)
+
+
+def meta_refresh_target(
+    html: "bytes | str | None", base_url: "Optional[str]" = None
+) -> Optional[str]:
+    """Zero-delay ``<meta http-equiv="refresh" content="0;url=...">``
+    redirect target, resolved absolute against ``base_url``; None when
+    the page is not an instant client-side redirect.
+
+    Corpus-mode stand-in for HTTP 3xx hops: the reference sees server
+    redirects through Playwright's response chain
+    (crawler.py:145-150) and persists one row per hop
+    (modules/SaveURL.py:80-126). A stored-page corpus carries no
+    transport metadata, so chains are encoded in-band as zero-delay
+    refresh stubs (the standard archive-crawler convention). Non-zero
+    delays (e.g. ``content="3600"``) are NOT redirects and return None.
+    """
+    doc = to_text(html)
+    # fast path: this runs on every fetched page of every wave, and
+    # redirect stubs are a tiny corpus fraction — skip the (expensive)
+    # comment/script strip unless the substring can occur at all
+    if re.search("refresh", doc, re.I) is None:
+        return None
+    doc = _strip_nontext(doc)
+    for tag in _META_HTTP_EQUIV_RE.finditer(doc):
+        if not re.search(r"""http-equiv\s*=\s*['"]?refresh""", tag.group(0), re.I):
+            continue
+        m = _REFRESH_CONTENT_RE.search(tag.group(0))
+        if not m:
+            continue
+        content = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        u = _REFRESH_URL_RE.match(_htmllib.unescape(content))
+        if not u:
+            continue
+        target = u.group(2).strip()
+        if not target:
+            continue
+        if base_url:
+            from urllib.parse import urljoin
+
+            return urljoin(base_url, target)
+        return target
+    return None
+
+
 # --- text extraction (the byte-identical invariant surface) -------------
 
 def extract_text(html: "bytes | str | None") -> str:

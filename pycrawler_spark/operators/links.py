@@ -64,27 +64,35 @@ def candidate_links(
     """Distributed candidate pipeline.
 
     ``hits``: successfully fetched parents —
-    (task_id, seq, url, url_norm, html).
+    (task_id, seq, url, url_norm, html), optionally with redirect
+    resolution (url_final, final_norm): links resolve against the
+    FINAL document url and the self-seen key is the FINAL url's
+    normalized form (the reference adds ``page.url`` — post-redirect —
+    to seen, CollectUrls.py:46-49), while ``from_url`` linkage keeps
+    the requested url (SaveURL.py fromurl_id = the dequeued URL row).
     ``tasks_dim``: (task_id, scheme, site, landing_origin, budget) —
     small, broadcast (J3 FK hydration).
 
     Returns the kernel input: parent rows (kind='parent', pos=-1) plus
     surviving link rows (kind='link') with normalized keys.
     """
+    has_final = "url_final" in hits.columns
+    final_url = F.col("url_final") if has_final else F.col("url")
+    final_norm = F.col("final_norm") if has_final else F.col("url_norm")
     parents = hits.select(
         "task_id",
         F.lit("parent").alias("kind"),
         F.col("seq").alias("parent_seq"),
         F.lit(-1).alias("pos"),
         F.col("url"),
-        F.col("url_norm"),
+        final_norm.alias("url_norm"),
         F.lit(None).cast("string").alias("host"),
     )
 
     exploded = hits.select(
         "task_id",
         F.col("seq").alias("parent_seq"),
-        F.col("url").alias("parent_url"),
+        final_url.alias("parent_url"),
         F.posexplode(extract_hrefs_udf(F.col("html"))).alias("pos", "href"),
     )
     parsed = exploded.withColumn(

@@ -41,6 +41,7 @@ from pycrawler_spark.functions.udfs import (
     login_form_udf,
     normalize_url_udf,
     parse_url_udf,
+    refresh_target_udf,
 )
 from pycrawler_spark.operators.links import candidate_links, dedup_budget_kernel
 from pycrawler_spark.operators.scheduler import schedule_wave
@@ -359,6 +360,96 @@ class CrawlEngine:
                     shutil.rmtree(os.path.join(base, d))
         self.pages_path = m["pages_path"]
 
+    # ----- redirect resolution (K2/J5, modules/SaveURL.py:80-126) -----------
+
+    def _resolve_redirects(self, hits: DataFrame, pages: DataFrame, caches: List):
+        """Follow zero-delay meta-refresh chains through the corpus —
+        the stand-in for the browser's 3xx chain (crawler.py:145-150).
+
+        Input ``hits``: wave rows joined to their requested page
+        (… wave cols …, html). Output adds:
+
+          url_final       end of the chain (null when it dead-ends)
+          final_norm      normalized url_final (the self-seen key,
+                          CollectUrls.py:46-49 adds page.url, i.e. the
+                          FINAL url, to seen)
+          redirect_chain  array<struct<url,code,location>> — one entry
+                          per stub hop that responded; code 200 because
+                          a refresh stub IS a 200 page (vs HTTP 3xx)
+          html            the final page's bytes (null on a broken chain)
+
+        Scale shape: each hop is one corpus scan with the (tiny)
+        still-redirecting rows broadcast — the corpus never shuffles,
+        and the common zero-redirect wave pays only one cached
+        ``isEmpty`` probe.
+        """
+        cfg = self.cfg
+        base = hits.withColumn("url_final", F.col("url")).withColumn(
+            "final_norm", F.col("url_norm")
+        ).withColumn("redirect_chain", F.expr(f"cast(array() as {REDIRECT_T})"))
+        if not cfg.follow_meta_refresh:
+            return base
+        cur = base.withColumn(
+            "rt", refresh_target_udf(F.col("html"), F.col("url_final"))
+        ).cache()
+        caches.append(cur)
+        parts = [cur.filter(F.col("rt").isNull()).drop("rt")]
+        redirecting = cur.filter(F.col("rt").isNotNull())
+        hop = 0
+        while hop < cfg.max_redirects and not redirecting.isEmpty():
+            hop += 1
+            stepped = (
+                redirecting.drop("html")
+                .withColumn(
+                    "redirect_chain",
+                    F.concat(
+                        "redirect_chain",
+                        F.array(
+                            F.struct(
+                                F.col("url_final").alias("url"),
+                                F.lit(200).alias("code"),
+                                F.col("rt").alias("location"),
+                            )
+                        ),
+                    ),
+                )
+                .withColumn("url_final", F.col("rt"))
+                .drop("rt")
+                .cache()
+            )
+            caches.append(stepped)
+            corpus = pages.select(F.col("url").alias("url_final"), "html")
+            landed = (
+                corpus.join(F.broadcast(stepped), "url_final", "inner")
+                .withColumn("final_norm", normalize_url_udf(F.col("url_final")))
+                .withColumn(
+                    "rt", refresh_target_udf(F.col("html"), F.col("url_final"))
+                )
+                .cache()
+            )
+            caches.append(landed)
+            # chain dead-ends: the stub responded but its target is not
+            # in the corpus -> response-error row, chain preserved
+            broken = stepped.join(
+                landed.select("task_id", "url"), ["task_id", "url"], "left_anti"
+            ).select(
+                *[c for c in stepped.columns if c not in ("url_final", "final_norm")],
+                F.lit(None).cast("string").alias("url_final"),
+                F.lit(None).cast("string").alias("final_norm"),
+                F.lit(None).cast("binary").alias("html"),
+            )
+            parts.append(broken)
+            parts.append(landed.filter(F.col("rt").isNull()).drop("rt"))
+            redirecting = landed.filter(F.col("rt").isNotNull())
+        # hop budget exhausted: the current stub is the final document
+        # (browser analog: goto returns the first document of an
+        # endless refresh loop)
+        parts.append(redirecting.drop("rt"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ----- one wave ---------------------------------------------------------
 
     def _run_wave(self, m: Dict, depth: int) -> Dict:
@@ -444,16 +535,21 @@ class CrawlEngine:
         )
         # broadcast the wave side: the corpus (100 TB) must never shuffle
         wave_b = F.broadcast(wave) if n_sched <= cfg.broadcast_wave_max_rows else wave
-        hits = pages.join(wave_b, "url", "inner").cache()
+        wave_caches: List[DataFrame] = []
+        hits_raw = pages.join(wave_b, "url", "inner")
+        hits = self._resolve_redirects(hits_raw, pages, wave_caches).cache()
         misses = wave.join(hits.select("url"), "url", "left_anti")
+        # chain followed to a 200 document vs dead-ended mid-chain
+        hit_ok = hits.filter(F.col("html").isNotNull())
+        hit_broken = hits.filter(F.col("html").isNull())
         trace("fetch join defined")
 
         # --- fetch-result rows (K1/M2 SaveURL; modules/SaveURL.py:46-78) ---
-        hit_rows = hits.select(
+        hit_rows = hit_ok.select(
             F.lit(wave_id).alias("wave_id"),
             "task_id",
             "url",
-            F.col("url").alias("url_final"),
+            "url_final",
             "url_norm",
             "host",
             "depth",
@@ -465,8 +561,27 @@ class CrawlEngine:
             extract_meta_udf(F.col("html")).alias("meta_headers"),
             login_form_udf(F.col("html")).alias("has_login_form"),
             cookie_banner_udf(F.col("html")).alias("has_cookie_banner"),
-            F.expr(f"cast(array() as {REDIRECT_T})").alias("redirect_chain"),
+            "redirect_chain",
             F.sha2(F.col("html"), 256).alias("body_sha256"),
+        )
+        broken_rows = hit_broken.select(
+            F.lit(wave_id).alias("wave_id"),
+            "task_id",
+            "url",
+            F.lit(None).cast("string").alias("url_final"),
+            "url_norm",
+            "host",
+            "depth",
+            "seq",
+            F.lit(cfg.code_response_error).alias("code"),
+            F.lit("GET").alias("method"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(None).cast("string").alias("extracted_text"),
+            F.lit(None).cast("array<string>").alias("meta_headers"),
+            F.lit(None).cast("boolean").alias("has_login_form"),
+            F.lit(None).cast("boolean").alias("has_cookie_banner"),
+            "redirect_chain",
+            F.lit(None).cast("string").alias("body_sha256"),
         )
         miss_rows = misses.select(
             F.lit(wave_id).alias("wave_id"),
@@ -487,7 +602,7 @@ class CrawlEngine:
             F.expr(f"cast(null as {REDIRECT_T})").alias("redirect_chain"),
             F.lit(None).cast("string").alias("body_sha256"),
         )
-        fetch_rows = hit_rows.unionByName(miss_rows)
+        fetch_rows = hit_rows.unionByName(broken_rows).unionByName(miss_rows)
         if blocked is not None and n_blocked:
             blocked_rows = blocked.select(
                 F.lit(wave_id).alias("wave_id"), "task_id", "url",
@@ -524,7 +639,8 @@ class CrawlEngine:
                 instrument_media,
             )
 
-            reqs = derive_requests(hits)
+            # sub-resources belong to the RENDERED document -> final url
+            reqs = derive_requests(hit_ok.withColumn("url", F.col("url_final")))
             if cfg.instrument_media:
                 reqs = instrument_media(reqs)
             reqs.withColumn("wave_id", F.lit(wave_id)).write.parquet(
@@ -537,7 +653,7 @@ class CrawlEngine:
             # PSL parse pandas UDFs) feeds the bloom build, the seen
             # semi-join AND the dedup kernel — without the cache it
             # would recompute three times per wave.
-            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites).cache()
+            cands = candidate_links(hit_ok, tasks_dim, cfg, self.adult_sites).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
@@ -691,6 +807,8 @@ class CrawlEngine:
             wrote.append("lineage")
 
         hits.unpersist()
+        for c in wave_caches:
+            c.unpersist()
         wave.unpersist()
         if use_scheduler:
             sched.unpersist()

@@ -53,6 +53,11 @@ class SimResult:
     seen: Dict[int, Set[str]] = field(default_factory=dict)
     # per-task frontier insertion log: (url, depth, from_url) in insertion order
     inserted: Dict[int, List[Tuple[str, int, Optional[str]]]] = field(default_factory=dict)
+    # redirect chains: (task_id, requested_url) -> (final_url|None,
+    # [(hop_url, code, location), ...]) — only urls that redirected
+    chains: Dict[Tuple[int, str], Tuple[Optional[str], List[Tuple[str, int, str]]]] = field(
+        default_factory=dict
+    )
 
 
 def ingest_seeds(seeds: List[dict], job: str, cfg: CrawlConfig) -> List[SimTask]:
@@ -77,6 +82,27 @@ def ingest_seeds(seeds: List[dict], job: str, cfg: CrawlConfig) -> List[SimTask]
             )
         )
     return tasks
+
+
+def resolve_chain(
+    pages: Dict[str, Optional[bytes]], url: str, cfg: CrawlConfig
+) -> Tuple[str, Optional[bytes], List[Tuple[str, int, str]]]:
+    """Follow zero-delay meta-refresh stubs through the corpus — the
+    simulator twin of CrawlEngine._resolve_redirects (K2/J5,
+    crawler.py:145-150 chain walk). Returns (final_url, final_html,
+    chain); after max_redirects hops the current stub is final."""
+    chain: List[Tuple[str, int, str]] = []
+    cur, html, hops = url, pages.get(url), 0
+    while (
+        cfg.follow_meta_refresh and html is not None and hops < cfg.max_redirects
+    ):
+        tgt = htmlkit.meta_refresh_target(html, cur)
+        if tgt is None:
+            break
+        chain.append((cur, 200, tgt))
+        cur, html = tgt, pages.get(tgt)
+        hops += 1
+    return cur, html, chain
 
 
 def _collect_urls(
@@ -205,15 +231,20 @@ def simulate(
             row[3] = "progress"
             url, depth, from_url = row[0], row[1], row[2]
             cur_depth = depth
-            html = pages.get(url)
+            final_url, html, chain = resolve_chain(pages, url, cfg)
             code = 200 if html is not None else cfg.code_response_error
+            if chain:
+                res.chains[(task.task_id, url)] = (
+                    final_url if html is not None else None,
+                    chain,
+                )
 
             for rep in range(1, cfg.repetitions + 1):
                 visits.append((url, depth, rep))
                 res.fetches.append((task.task_id, url, depth, rep, code))
                 if rep == 1:
                     links, _ = _collect_urls(
-                        task, url if html is not None else "about:blank",
+                        task, final_url if html is not None else "about:blank",
                         html, depth, seen, cfg,
                     )
                     n_found = len(links)

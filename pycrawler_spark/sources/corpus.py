@@ -117,6 +117,15 @@ def _page_html(
     # deep-path page for robots fixtures (disallowed /p7 on even hosts)
     if j == 3:
         links.append("/p7")
+    # redirect fixtures (K2/J5): stubs generated in generate_corpus
+    if j % 6 == 5 and c1 < n_pages:
+        links.append(f"/r{c1}")          # 1-hop meta-refresh -> /p{c1}
+    if j == 2:
+        links.append("/hop0")            # 2-hop chain -> /hop1 -> /p1
+    if j == 6:
+        links.append("/rxhost")          # cross-host redirect target
+    if j % 10 == 4:
+        links.append(f"/rdead{j}")       # chain dead-ends (target missing)
     # dead link (in-corpus-miss -> code -1) on every 4th page
     if j % 4 == 0:
         links.append(f"/dead{j}")
@@ -154,6 +163,46 @@ def _page_html(
     return html.encode("utf-8"), text
 
 
+def _stub_html(host: str, name: str, target: str) -> Tuple[bytes, str]:
+    """Zero-delay meta-refresh redirect stub (K2/J5 fixture) — the
+    in-band encoding of an HTTP redirect in a stored-page corpus."""
+    title = f"{host} redirect {name}"
+    html = (
+        f"<!DOCTYPE html><html><head><title>{title}</title>"
+        f'<meta http-equiv="refresh" content="0;url={target}">'
+        f"</head><body><p>Redirecting to {target}</p></body></html>"
+    )
+    text = f"{title} Redirecting to {target}"
+    return html.encode("utf-8"), text
+
+
+def _host_redirect_stubs(
+    host: str, n_pages: int, hosts: List[str], i: int, branching: int
+) -> List[Tuple[str, str, str]]:
+    """(stub_name, stub_url, target) triples matching the links
+    emitted by _page_html's redirect fixtures."""
+    stubs: List[Tuple[str, str, str]] = []
+    seen_c = set()
+    for j in range(n_pages):
+        c1 = branching * j + 1
+        if j % 6 == 5 and c1 < n_pages and c1 not in seen_c:
+            seen_c.add(c1)
+            stubs.append((f"r{c1}", f"https://{host}/r{c1}", f"/p{c1}"))
+        if j % 10 == 4:
+            stubs.append(
+                (f"rdead{j}", f"https://{host}/rdead{j}", f"/missing{j}")
+            )
+    if n_pages > 2:
+        # 2-hop chain; first hop absolute, second relative (both forms
+        # of refresh targets exercised)
+        stubs.append(("hop0", f"https://{host}/hop0", f"https://{host}/hop1"))
+        stubs.append(("hop1", f"https://{host}/hop1", "/p1"))
+    if n_pages > 6:
+        other = hosts[(i + 1) % len(hosts)]
+        stubs.append(("rxhost", f"https://{host}/rxhost", f"https://{other}/p1"))
+    return stubs
+
+
 def generate_corpus(
     seed: int = 42,
     n_hosts: int = 8,
@@ -183,6 +232,20 @@ def generate_corpus(
                     "warc_ts": ts,
                     "html": html,
                     "text": text,
+                    "lang": lang,
+                }
+            )
+            ts += timedelta(seconds=1)
+        for _name, stub_url, target in _host_redirect_stubs(
+            host, n_pages, hosts, i, branching
+        ):
+            s_html, s_text = _stub_html(host, _name, target)
+            pages.append(
+                {
+                    "url": stub_url,
+                    "warc_ts": ts,
+                    "html": s_html,
+                    "text": s_text,
                     "lang": lang,
                 }
             )

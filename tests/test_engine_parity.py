@@ -99,14 +99,42 @@ def test_extracted_text_byte_identical(crawl_outputs, spark):
     byte-identical to the corpus ``text`` column."""
     engine, _, _ = crawl_outputs
     m = engine._load_manifest()
-    pages = spark.read.parquet(m["pages_path"]).select("url", "text")
+    pages = spark.read.parquet(m["pages_path"]).select(
+        F.col("url").alias("url_final"), "text"
+    )
+    # the rendered document is url_final (post-redirect-chain)
     fetched = engine.table("fetches").filter(F.col("code") == 200)
-    joined = fetched.join(pages, "url").select("url", "extracted_text", "text")
+    joined = fetched.join(pages, "url_final").select(
+        "url_final", "extracted_text", "text"
+    )
     bad = joined.filter(
         F.col("extracted_text") != F.col("text")
     ).count()
     assert bad == 0
     assert joined.count() > 0
+
+
+def test_redirect_chains_match(crawl_outputs):
+    """K2/J5: engine redirect_chain (per requested url) == simulator
+    chain walk; chains are present and non-trivial in the corpus."""
+    engine, sim, _ = crawl_outputs
+    rows = (
+        engine.table("fetches")
+        .filter((F.col("repetition") == 1) & (F.size("redirect_chain") > 0))
+        .select("task_id", "url", "url_final", "redirect_chain")
+        .collect()
+    )
+    got = {
+        (r.task_id, r.url): (
+            r.url_final,
+            [(h.url, h.code, h.location) for h in r.redirect_chain],
+        )
+        for r in rows
+    }
+    assert got == sim.chains
+    assert len(got) > 0, "corpus should exercise redirects"
+    assert any(len(c) >= 2 for (_, c) in got.values()), "2-hop chain"
+    assert any(f is None for (f, _) in got.values()), "broken chain"
 
 
 def test_throughput_metric_present(crawl_outputs):

@@ -90,3 +90,42 @@ def test_corpus_text_invariant():
     assert len(pages) > 0
     for p in pages:
         assert htmlkit.extract_text(p["html"]) == p["text"], p["url"]
+
+
+def test_meta_refresh_target():
+    # zero-delay refresh with relative target resolves against base
+    assert htmlkit.meta_refresh_target(
+        b'<meta http-equiv="refresh" content="0;url=/p5">',
+        "https://a.com/r5",
+    ) == "https://a.com/p5"
+    # absolute target; case-insensitive attr names; single quotes
+    assert htmlkit.meta_refresh_target(
+        b"<META HTTP-EQUIV='Refresh' CONTENT='0; URL=https://b.org/x'>",
+        "https://a.com/",
+    ) == "https://b.org/x"
+    # quoted url value inside content
+    assert htmlkit.meta_refresh_target(
+        b'<meta http-equiv="refresh" content="0;url=\'/q\'">',
+        "https://a.com/",
+    ) == "https://a.com/q"
+    # NON-zero delay is not a redirect (corpus j%9 fixture)
+    assert htmlkit.meta_refresh_target(
+        b'<meta http-equiv="refresh" content="3600">', "https://a.com/"
+    ) is None
+    assert htmlkit.meta_refresh_target(
+        b'<meta http-equiv="refresh" content="5;url=/later">', "https://a.com/"
+    ) is None
+    # refresh without url, other http-equiv tags, comments/scripts
+    assert htmlkit.meta_refresh_target(
+        b'<meta http-equiv="content-type" content="text/html">',
+        "https://a.com/",
+    ) is None
+    assert htmlkit.meta_refresh_target(
+        b'<!-- <meta http-equiv="refresh" content="0;url=/trap"> -->',
+        "https://a.com/",
+    ) is None
+    assert htmlkit.meta_refresh_target(
+        b'<script>var m = \'<meta http-equiv="refresh" content="0;url=/t">\';</script>',
+        "https://a.com/",
+    ) is None
+    assert htmlkit.meta_refresh_target(None, "https://a.com/") is None
