@@ -362,45 +362,79 @@ class CrawlEngine:
 
     # ----- redirect resolution (K2/J5, modules/SaveURL.py:80-126) -----------
 
-    def _resolve_redirects(self, hits: DataFrame, pages: DataFrame, caches: List):
-        """Follow zero-delay meta-refresh chains through the corpus —
-        the stand-in for the browser's 3xx chain (crawler.py:145-150).
+    def _redirect_edges(self) -> Optional[DataFrame]:
+        """The corpus's redirect graph: (url_final, target) for every
+        zero-delay meta-refresh stub — the in-band encoding of HTTP 3xx
+        hops in a stored-page corpus.
 
-        Input ``hits``: wave rows joined to their requested page
-        (… wave cols …, html). Output adds:
+        Built ONCE per job (one corpus scan with a cheap fast-path UDF)
+        and persisted under workdir; every wave then resolves chains
+        with small joins against this table instead of re-scanning the
+        corpus per hop. At 10^10 urls the stub fraction is small
+        (~1e-3), so edges is orders of magnitude smaller than the
+        corpus — usually broadcastable, always cheap to shuffle. (Real
+        Common Crawl pipelines precompute exactly this from WAT
+        metadata.)
+        """
+        if not self.cfg.follow_meta_refresh:
+            return None
+        d = os.path.join(self.workdir, "redirect_edges")
+        if not os.path.isdir(d):
+            pages = self.spark.read.parquet(self.pages_path).select("url", "html")
+            tmp = d + "_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                pages.select(
+                    F.col("url").alias("url_final"),
+                    refresh_target_udf(F.col("html"), F.col("url")).alias(
+                        "target"
+                    ),
+                )
+                .filter(F.col("target").isNotNull())
+                .repartition(
+                    self.cfg.host_buckets,
+                    F.pmod(F.xxhash64("url_final"), F.lit(self.cfg.host_buckets)),
+                )
+                .write.parquet(tmp)
+            )
+            os.replace(tmp, d)  # crash-safe commit
+        return self.spark.read.parquet(d)
 
-          url_final       end of the chain (null when it dead-ends)
-          final_norm      normalized url_final (the self-seen key,
-                          CollectUrls.py:46-49 adds page.url, i.e. the
-                          FINAL url, to seen)
-          redirect_chain  array<struct<url,code,location>> — one entry
-                          per stub hop that responded; code 200 because
-                          a refresh stub IS a 200 page (vs HTTP 3xx)
-          html            the final page's bytes (null on a broken chain)
+    def _resolve_targets(self, wave: DataFrame, edges: Optional[DataFrame]) -> DataFrame:
+        """Resolve each wave row's redirect chain BEFORE the fetch join
+        (the browser follows the chain during navigation,
+        crawler.py:145-150; here the chain is known from the edges
+        table, so the fetch join runs directly on the FINAL url).
 
-        Scale shape: each hop is one corpus scan with the (tiny)
-        still-redirecting rows broadcast — the corpus never shuffles,
-        and the common zero-redirect wave pays only one cached
-        ``isEmpty`` probe.
+        Adds: url_final (chain end), final_norm (its normalized form —
+        the self-seen key, CollectUrls.py:46-49 adds page.url, i.e. the
+        post-redirect url, to seen), redirect_chain (one
+        struct<url,code,location> per stub hop; code 200 because a
+        refresh stub IS a 200 document, unlike HTTP 3xx). After
+        max_redirects hops the current stub is the final document (the
+        browser analog: goto returns the first document of an endless
+        refresh loop).
+
+        Plan shape: one left join of the full (slim) wave against
+        edges, then up to max_redirects-1 left joins over only the
+        still-moving rows — all lazy, no driver probes, no corpus
+        scans; AQE collapses the joins when edges is empty/tiny. The
+        normalize UDF runs only over chained rows.
         """
         cfg = self.cfg
-        base = hits.withColumn("url_final", F.col("url")).withColumn(
-            "final_norm", F.col("url_norm")
-        ).withColumn("redirect_chain", F.expr(f"cast(array() as {REDIRECT_T})"))
-        if not cfg.follow_meta_refresh:
+        base = (
+            wave.withColumn("url_final", F.col("url"))
+            .withColumn("final_norm", F.col("url_norm"))
+            .withColumn(
+                "redirect_chain", F.expr(f"cast(array() as {REDIRECT_T})")
+            )
+        )
+        if edges is None:
             return base
-        cur = base.withColumn(
-            "rt", refresh_target_udf(F.col("html"), F.col("url_final"))
-        ).cache()
-        caches.append(cur)
-        parts = [cur.filter(F.col("rt").isNull()).drop("rt")]
-        redirecting = cur.filter(F.col("rt").isNotNull())
-        hop = 0
-        while hop < cfg.max_redirects and not redirecting.isEmpty():
-            hop += 1
-            stepped = (
-                redirecting.drop("html")
-                .withColumn(
+
+        def step(moving: DataFrame) -> DataFrame:
+            return (
+                moving.withColumn(
                     "redirect_chain",
                     F.concat(
                         "redirect_chain",
@@ -408,47 +442,36 @@ class CrawlEngine:
                             F.struct(
                                 F.col("url_final").alias("url"),
                                 F.lit(200).alias("code"),
-                                F.col("rt").alias("location"),
+                                F.col("target").alias("location"),
                             )
                         ),
                     ),
                 )
-                .withColumn("url_final", F.col("rt"))
-                .drop("rt")
-                .cache()
+                .withColumn("url_final", F.col("target"))
+                .drop("target")
             )
-            caches.append(stepped)
-            corpus = pages.select(F.col("url").alias("url_final"), "html")
-            landed = (
-                corpus.join(F.broadcast(stepped), "url_final", "inner")
-                .withColumn("final_norm", normalize_url_udf(F.col("url_final")))
-                .withColumn(
-                    "rt", refresh_target_udf(F.col("html"), F.col("url_final"))
+
+        j0 = base.join(edges, "url_final", "left")
+        never = j0.filter(F.col("target").isNull()).drop("target")
+        moving = j0.filter(F.col("target").isNotNull())
+        chained_parts: List[DataFrame] = []
+        for hop in range(cfg.max_redirects):
+            moving = step(moving)
+            if hop + 1 < cfg.max_redirects:
+                jn = moving.join(edges, "url_final", "left")
+                chained_parts.append(
+                    jn.filter(F.col("target").isNull()).drop("target")
                 )
-                .cache()
-            )
-            caches.append(landed)
-            # chain dead-ends: the stub responded but its target is not
-            # in the corpus -> response-error row, chain preserved
-            broken = stepped.join(
-                landed.select("task_id", "url"), ["task_id", "url"], "left_anti"
-            ).select(
-                *[c for c in stepped.columns if c not in ("url_final", "final_norm")],
-                F.lit(None).cast("string").alias("url_final"),
-                F.lit(None).cast("string").alias("final_norm"),
-                F.lit(None).cast("binary").alias("html"),
-            )
-            parts.append(broken)
-            parts.append(landed.filter(F.col("rt").isNull()).drop("rt"))
-            redirecting = landed.filter(F.col("rt").isNotNull())
-        # hop budget exhausted: the current stub is the final document
-        # (browser analog: goto returns the first document of an
-        # endless refresh loop)
-        parts.append(redirecting.drop("rt"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+                moving = jn.filter(F.col("target").isNotNull())
+            else:
+                chained_parts.append(moving)
+        chained = chained_parts[0]
+        for p in chained_parts[1:]:
+            chained = chained.unionByName(p)
+        chained = chained.withColumn(
+            "final_norm", normalize_url_udf(F.col("url_final"))
+        )
+        return never.unionByName(chained)
 
     # ----- one wave ---------------------------------------------------------
 
@@ -530,22 +553,28 @@ class CrawlEngine:
         trace(f"schedule ({n_sched} urls)")
 
         # --- fetch = corpus equi-join (S4/J6; replaces crawler.py:165) ----
+        # redirect chains resolve BEFORE the fetch join via the (tiny)
+        # precomputed edges table, so the join runs on the FINAL url
+        # and the corpus is scanned exactly once per wave
+        edges = self._redirect_edges()
+        wave_r = self._resolve_targets(wave, edges).cache()
         pages = self.spark.read.parquet(self.pages_path).select(
-            "url", "html", "warc_ts"
+            F.col("url").alias("url_final"), "html", "warc_ts"
         )
         # broadcast the wave side: the corpus (100 TB) must never shuffle
-        wave_b = F.broadcast(wave) if n_sched <= cfg.broadcast_wave_max_rows else wave
-        wave_caches: List[DataFrame] = []
-        hits_raw = pages.join(wave_b, "url", "inner")
-        hits = self._resolve_redirects(hits_raw, pages, wave_caches).cache()
-        misses = wave.join(hits.select("url"), "url", "left_anti")
-        # chain followed to a 200 document vs dead-ended mid-chain
-        hit_ok = hits.filter(F.col("html").isNotNull())
-        hit_broken = hits.filter(F.col("html").isNull())
+        wave_b = (
+            F.broadcast(wave_r) if n_sched <= cfg.broadcast_wave_max_rows else wave_r
+        )
+        hits = pages.join(wave_b, "url_final", "inner").cache()
+        # miss = requested url absent from corpus (chain empty) OR the
+        # chain dead-ended on a target absent from corpus (chain kept)
+        misses = wave_r.join(
+            hits.select("task_id", "url"), ["task_id", "url"], "left_anti"
+        )
         trace("fetch join defined")
 
         # --- fetch-result rows (K1/M2 SaveURL; modules/SaveURL.py:46-78) ---
-        hit_rows = hit_ok.select(
+        hit_rows = hits.select(
             F.lit(wave_id).alias("wave_id"),
             "task_id",
             "url",
@@ -564,25 +593,6 @@ class CrawlEngine:
             "redirect_chain",
             F.sha2(F.col("html"), 256).alias("body_sha256"),
         )
-        broken_rows = hit_broken.select(
-            F.lit(wave_id).alias("wave_id"),
-            "task_id",
-            "url",
-            F.lit(None).cast("string").alias("url_final"),
-            "url_norm",
-            "host",
-            "depth",
-            "seq",
-            F.lit(cfg.code_response_error).alias("code"),
-            F.lit("GET").alias("method"),
-            F.lit(None).cast("string").alias("content"),
-            F.lit(None).cast("string").alias("extracted_text"),
-            F.lit(None).cast("array<string>").alias("meta_headers"),
-            F.lit(None).cast("boolean").alias("has_login_form"),
-            F.lit(None).cast("boolean").alias("has_cookie_banner"),
-            "redirect_chain",
-            F.lit(None).cast("string").alias("body_sha256"),
-        )
         miss_rows = misses.select(
             F.lit(wave_id).alias("wave_id"),
             "task_id",
@@ -599,10 +609,10 @@ class CrawlEngine:
             F.lit(None).cast("array<string>").alias("meta_headers"),
             F.lit(None).cast("boolean").alias("has_login_form"),
             F.lit(None).cast("boolean").alias("has_cookie_banner"),
-            F.expr(f"cast(null as {REDIRECT_T})").alias("redirect_chain"),
+            "redirect_chain",
             F.lit(None).cast("string").alias("body_sha256"),
         )
-        fetch_rows = hit_rows.unionByName(broken_rows).unionByName(miss_rows)
+        fetch_rows = hit_rows.unionByName(miss_rows)
         if blocked is not None and n_blocked:
             blocked_rows = blocked.select(
                 F.lit(wave_id).alias("wave_id"), "task_id", "url",
@@ -640,7 +650,7 @@ class CrawlEngine:
             )
 
             # sub-resources belong to the RENDERED document -> final url
-            reqs = derive_requests(hit_ok.withColumn("url", F.col("url_final")))
+            reqs = derive_requests(hits.withColumn("url", F.col("url_final")))
             if cfg.instrument_media:
                 reqs = instrument_media(reqs)
             reqs.withColumn("wave_id", F.lit(wave_id)).write.parquet(
@@ -653,7 +663,7 @@ class CrawlEngine:
             # PSL parse pandas UDFs) feeds the bloom build, the seen
             # semi-join AND the dedup kernel — without the cache it
             # would recompute three times per wave.
-            cands = candidate_links(hit_ok, tasks_dim, cfg, self.adult_sites).cache()
+            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
@@ -807,8 +817,7 @@ class CrawlEngine:
             wrote.append("lineage")
 
         hits.unpersist()
-        for c in wave_caches:
-            c.unpersist()
+        wave_r.unpersist()
         wave.unpersist()
         if use_scheduler:
             sched.unpersist()

@@ -1,0 +1,179 @@
+"""Stateful streaming politeness scheduler (T7 north rule, streaming
+form) — ``applyInPandasWithState`` per-host token bucket.
+
+The batch scheduler (operators/scheduler.py) re-derives each wave's
+per-host allowance from scratch: every depth wave grants at most
+``host_wave_budget`` URLs per host, which is correct for the
+bulk-synchronous driver loop but forgets between waves. The
+long-running stream mode wants a *continuous* politeness ledger: a
+host that sat idle for a while may burst a little (accumulated
+allowance), a host hammered in the last micro-batch must wait — the
+token-bucket semantics real crawl schedulers use, and exactly the
+shape Spark's ``applyInPandasWithState`` exists for (arbitrary
+per-key state across micro-batches).
+
+Semantics per host (key) per micro-batch:
+
+* state = tokens available, capped at ``capacity``
+* on each batch: ``tokens = min(capacity, tokens + refill)`` then the
+  batch's rows, in ``seq`` order (the reference's insertion-order
+  dequeue, database.py:257-285), are granted while tokens last;
+  ungranted rows are emitted with ``granted=false`` so the caller can
+  re-enqueue them (they stay in the frontier — the engine's frontier
+  is the replay source, so nothing is lost).
+* robots-disallowed rows (same rules table as the batch scheduler)
+  are emitted ``blocked=true`` and never consume tokens.
+
+The reference analog: WAIT_BEFORE_LOAD/WAIT_AFTER_LOAD serialize one
+site's fetches (config-example.py:48-50, crawler.py:163-169) — i.e.
+refill ≈ wave_interval / per_page_cost, which is exactly
+``CrawlConfig.host_wave_budget``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GRANT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("task_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("batch_pos", T.LongType()),   # grant order within host
+        T.StructField("granted", T.BooleanType()),
+        T.StructField("blocked", T.BooleanType()),
+        T.StructField("tokens_left", T.LongType()),  # post-batch bucket level
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("tokens", T.LongType())])
+
+FRONTIER_STREAM_SCHEMA = (
+    "task_id long, url string, url_norm string, host string, "
+    "depth int, repetition int, seq long, from_url string"
+)
+
+
+def _bucket_fn(refill: int, capacity: int, robots_rules: dict):
+    """Build the per-host stateful kernel (closure over broadcastable
+    plain-python config; robots_rules: host -> rules text)."""
+    import urllib.robotparser
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        (tokens,) = state.get if state.exists else (0,)
+        tokens = min(capacity, tokens + refill)
+
+        parser: Optional[urllib.robotparser.RobotFileParser] = None
+        rules = robots_rules.get(host)
+        if rules is not None:
+            parser = urllib.robotparser.RobotFileParser()
+            parser.parse(str(rules).splitlines())
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("seq", kind="mergesort")
+        granted, blocked, pos = [], [], []
+        n_granted = 0
+        for u in rows["url"]:
+            if parser is not None and not parser.can_fetch("*", u):
+                blocked.append(True)
+                granted.append(False)
+                pos.append(-1)
+                continue
+            blocked.append(False)
+            if tokens > 0:
+                granted.append(True)
+                tokens -= 1
+                pos.append(n_granted)
+                n_granted += 1
+            else:
+                granted.append(False)
+                pos.append(-1)
+        state.update((tokens,))
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "task_id": rows["task_id"].values,
+                "url": rows["url"].values,
+                "url_norm": rows["url_norm"].values,
+                "depth": rows["depth"].values,
+                "seq": rows["seq"].values,
+                "batch_pos": pd.array(pos, dtype="int64"),
+                "granted": granted,
+                "blocked": blocked,
+                "tokens_left": pd.array([tokens] * len(rows), dtype="int64"),
+            }
+        )
+        yield out
+
+    return fn
+
+
+def stream_schedule(
+    spark: SparkSession,
+    frontier_dir: str,
+    out_dir: str,
+    robots: Optional[DataFrame] = None,
+    refill: int = 10,
+    capacity: Optional[int] = None,
+    available_now: bool = True,
+    checkpoint: Optional[str] = None,
+):
+    """Continuous politeness scheduling over a frontier file stream.
+
+    ``frontier_dir``: directory of parquet files with
+    FRONTIER_STREAM_SCHEMA rows (e.g. the engine's frontier deltas, or
+    a dedicated scheduling queue); one file per micro-batch so the
+    token bucket ticks per file (``maxFilesPerTrigger=1``).
+    ``refill``: tokens added per micro-batch (≈ host_wave_budget);
+    ``capacity`` defaults to 2×refill (one wave of burst headroom).
+
+    Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
+    """
+    capacity = capacity if capacity is not None else 2 * refill
+    rules = {}
+    if robots is not None:
+        rules = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
+
+    stream = (
+        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(frontier_dir)
+        .filter(F.col("repetition") == 1)
+    )
+    scheduled = (
+        stream.groupBy("host")
+        .applyInPandasWithState(
+            _bucket_fn(refill, capacity, rules),
+            outputStructType=GRANT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        scheduled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(out_dir + "_ckpt"),
+        )
+    )
+    q = writer.trigger(availableNow=available_now).start()
+    if available_now:
+        q.awaitTermination()
+    return q

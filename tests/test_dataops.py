@@ -253,3 +253,90 @@ def test_streaming_fetch_metrics(spark, tmp_path):
         F.col("wave_id") < last_wave
     ).count()
     assert total == expected and expected > 0
+
+
+def test_stateful_token_bucket_scheduler(spark, tmp_path):
+    """T7 streaming form: applyInPandasWithState per-host token bucket
+    — allowance carries across micro-batches (burst after idle),
+    grants are a seq-prefix, robots rows never consume tokens."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pycrawler_spark.streaming.stateful import stream_schedule
+
+    fdir = tmp_path / "frontier_stream"
+    fdir.mkdir()
+
+    def rows(host, seqs):
+        return [
+            {
+                "task_id": 1,
+                "url": f"https://{host}/p{s}",
+                "url_norm": f"https://{host}/p{s}",
+                "host": host,
+                "depth": 1,
+                "repetition": 1,
+                "seq": s,
+                "from_url": None,
+            }
+            for s in seqs
+        ]
+
+    schema = pa.schema(
+        [
+            ("task_id", pa.int64()),
+            ("url", pa.string()),
+            ("url_norm", pa.string()),
+            ("host", pa.string()),
+            ("depth", pa.int32()),
+            ("repetition", pa.int32()),
+            ("seq", pa.int64()),
+            ("from_url", pa.string()),
+        ]
+    )
+    # batch 1: a.com saturated (30 rows), b.org barely used (2 rows)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows("a.com", range(30)) + rows("b.org", range(2)), schema=schema
+        ),
+        fdir / "f1.parquet",
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # batch 2: b.org bursts (25 rows) using carried allowance
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows("a.com", range(100, 115)) + rows("b.org", range(100, 125)),
+            schema=schema,
+        ),
+        fdir / "f2.parquet",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p7\n")], "host string, rules string"
+    )
+    out = str(tmp_path / "grants")
+    stream_schedule(
+        spark, str(fdir), out, robots=robots, refill=10, capacity=20
+    )
+    g = spark.read.parquet(out).toPandas()
+
+    a1 = g[(g.host == "a.com") & (g.seq < 100)]
+    a2 = g[(g.host == "a.com") & (g.seq >= 100)]
+    b1 = g[(g.host == "b.org") & (g.seq < 100)]
+    b2 = g[(g.host == "b.org") & (g.seq >= 100)]
+    # robots: /p7 blocked, consumed no token
+    assert bool(a1[a1.seq == 7].blocked.iloc[0])
+    assert not bool(a1[a1.seq == 7].granted.iloc[0])
+    # batch1: a grants exactly refill(10) of its 29 allowed rows
+    assert int(a1.granted.sum()) == 10
+    # grants are a seq-prefix of the ALLOWED rows (0..10 skipping 7)
+    assert sorted(a1[a1.granted].seq) == [0, 1, 2, 3, 4, 5, 6, 8, 9, 10]
+    # batch1: b grants its 2 rows, banks 8 tokens
+    assert int(b1.granted.sum()) == 2
+    assert int(b1.tokens_left.iloc[0]) == 8
+    # batch2: a refilled to 10 -> grants 10 of 15
+    assert int(a2.granted.sum()) == 10
+    # batch2: b bursts min(20, 8+10)=18 (STATE carried across batches)
+    assert int(b2.granted.sum()) == 18
+    assert sorted(b2[b2.granted].seq) == list(range(100, 118))
