@@ -53,8 +53,13 @@ HEADLINE = [
 ]
 
 
+# bump when the corpus GENERATOR changes (new fixture kinds), so the
+# /tmp cache below is invalidated — the size params alone don't see it
+CORPUS_REV = 2  # rev2: redirect stubs (r*/hop*/rdead*/rxhost)
+
+
 def corpus_dir() -> str:
-    tag = "-".join(str(v) for v in CORPUS.values())
+    tag = "-".join(str(v) for v in CORPUS.values()) + f"-rev{CORPUS_REV}"
     d = f"/tmp/pycrawler_bench_corpus_{tag}"
     if not os.path.isdir(d):
         from pycrawler_spark.sources.corpus import write_corpus
@@ -92,6 +97,20 @@ def host_capacity() -> float:
     for i in range(5_000_000):
         x += i * i
     return round(5.0 / max(time.monotonic() - t, 1e-9), 1)
+
+
+def wait_for_quiet_window(pool: list, min_cap: float = 9.0) -> float:
+    """Measuring inside a heavy-steal window wastes a full A/B pair on
+    garbage numbers. Probe the host and wait (from a shared, bounded
+    time pool) until single-core capacity recovers; give up when the
+    pool is spent — the interleaved best-of then does what it can."""
+    cap = host_capacity()
+    while cap < min_cap and pool[0] > 0:
+        t0 = time.monotonic()
+        time.sleep(15)
+        pool[0] -= time.monotonic() - t0
+        cap = host_capacity()
+    return cap
 
 
 def run_crawl(cores: int) -> dict:
@@ -180,7 +199,9 @@ def main():
         ratio = SCALE_4N / SCALE_N
         t_scaling = time.monotonic()
         smalls, bigs = [], []
+        wait_pool = [180.0]  # total seconds we may spend waiting for quiet
         for attempt in range(max(BEST_OF, 3)):
+            wait_for_quiet_window(wait_pool)
             smalls.append(runner(SCALE_N))
             bigs.append(runner(SCALE_4N))
             s0 = min(smalls, key=lambda r: r["wall_sec"])
