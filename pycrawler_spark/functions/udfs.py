@@ -83,7 +83,66 @@ def join_href_udf(base_urls: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_URL_FIELDS)
 
 
+# --- fused link resolution (X4 + X1 in one Arrow pass) --------------------
+
+RESOLVED_LINK_STRUCT = T.StructType(
+    URL_STRUCT.fields + [T.StructField("norm", T.StringType())]
+)
+_RESOLVED_FIELDS = [f.name for f in RESOLVED_LINK_STRUCT.fields]
+
+
+@pandas_udf(RESOLVED_LINK_STRUCT)
+def resolve_href_udf(base_urls: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+    """X4 urljoin + X2 parse + X1 normalize fused into ONE pass over
+    the exploded links (each as a separate UDF costs an extra Arrow
+    round-trip over the biggest intermediate of the wave). The base
+    page URL repeats for every link of a page — parse it once per
+    distinct base per batch."""
+    base_cache: dict = {}
+    rows = []
+    for base, href in zip(base_urls, hrefs):
+        p = base_cache.get(base)
+        if p is None and base is not None:
+            p = urlkit.parse_url(base)
+            base_cache[base] = p
+        r = urlkit.url_from_href(href, p) if p is not None else None
+        if r is None:
+            rows.append((None,) * len(_RESOLVED_FIELDS))
+        else:
+            full = urlkit.url_str_with_query_fragment(r)
+            rows.append(
+                (
+                    r.scheme, r.netloc, r.host, r.path, r.query, r.fragment,
+                    r.fld, r.suffix, urlkit.url_origin(r), full,
+                    urlkit.normalize_url(full),
+                )
+            )
+    return pd.DataFrame(rows, columns=_RESOLVED_FIELDS)
+
+
 # --- HTML extraction UDFs (F1, X9, M4, M5) -------------------------------
+
+PAGE_FEATURES_STRUCT = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("meta_headers", T.ArrayType(T.StringType())),
+        T.StructField("has_login_form", T.BooleanType()),
+        T.StructField("has_cookie_banner", T.BooleanType()),
+        T.StructField("hrefs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(PAGE_FEATURES_STRUCT)
+def page_features_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused per-page extraction (M1/M2/M4/M5): html is the fat column;
+    each separate UDF ships it through Arrow again, so one fused pass
+    (one decode + one comment/script strip, htmlkit.page_features)
+    replaces five."""
+    rows = [htmlkit.page_features(h) for h in html]
+    return pd.DataFrame(
+        rows, columns=[f.name for f in PAGE_FEATURES_STRUCT.fields]
+    )
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:

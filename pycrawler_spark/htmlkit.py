@@ -74,7 +74,10 @@ def extract_hrefs(html: "bytes | str | None") -> List[str]:
     entities when ``get_attribute('href')`` is read). Anchors inside
     comments / scripts are excluded (the DOM never materializes them).
     """
-    doc = _strip_nontext(to_text(html))
+    return _hrefs_from_doc(_strip_nontext(to_text(html)))
+
+
+def _hrefs_from_doc(doc: str) -> List[str]:
     out: List[str] = []
     for m in _A_HREF_RE.finditer(doc):
         raw = m.group(2) if m.group(2) is not None else (
@@ -94,7 +97,10 @@ def extract_meta_http_equiv(html: "bytes | str | None") -> List[str]:
     which is byte-stable for our generated corpus (documented
     divergence for arbitrary HTML re-serialization).
     """
-    doc = _strip_nontext(to_text(html))
+    return _meta_from_doc(_strip_nontext(to_text(html)))
+
+
+def _meta_from_doc(doc: str) -> List[str]:
     return [m.group(0) for m in _META_HTTP_EQUIV_RE.finditer(doc)]
 
 
@@ -164,7 +170,10 @@ def extract_text(html: "bytes | str | None") -> str:
     embeds a known text body in each page; the engine must recover it
     byte-identically (BASELINE.json input_hint invariant).
     """
-    doc = _strip_nontext(to_text(html))
+    return _text_from_doc(_strip_nontext(to_text(html)))
+
+
+def _text_from_doc(doc: str) -> str:
     doc = _TAG_RE.sub(" ", doc)
     doc = _htmllib.unescape(doc)
     return _WS_RE.sub(" ", doc).strip()
@@ -226,7 +235,10 @@ def detect_login_form(html: "bytes | str | None") -> bool:
     interaction (FindLoginForms.py:183-217) requires a browser and is
     out of scope in corpus mode (SURVEY.md §2.8 M4).
     """
-    doc = _strip_nontext(to_text(html))
+    return _login_from_doc(_strip_nontext(to_text(html)))
+
+
+def _login_from_doc(doc: str) -> bool:
     for m in _FORM_RE.finditer(doc):
         if _verify_login_block(m.group(0)):
             return True
@@ -264,7 +276,10 @@ def detect_cookie_banner(html: "bytes | str | None") -> bool:
     """True when a clickable element carries a cookie-accept keyword
     (EN first, then DE — AcceptCookies.py:86-94) and is neither an SSO
     button nor a negative/limiting button (AcceptCookies.py:104-110)."""
-    doc = _strip_nontext(to_text(html))
+    return _cookie_from_doc(_strip_nontext(to_text(html)))
+
+
+def _cookie_from_doc(doc: str) -> bool:
     for m in _CLICKABLE_RE.finditer(doc):
         outer = m.group(0)
         if SSO.search(outer) or COOKIE_IGNORE.search(outer):
@@ -272,6 +287,22 @@ def detect_cookie_banner(html: "bytes | str | None") -> bool:
         if COOKIE_KEYWORDS_ENG.search(outer) or COOKIE_KEYWORDS_GER.search(outer):
             return True
     return False
+
+
+def page_features(html: "bytes | str | None"):
+    """Fused per-page extraction for the fetch wave's single
+    html->Python pass: (extracted_text, meta_headers, has_login_form,
+    has_cookie_banner, hrefs) computed over ONE decode + ONE
+    comment/script strip instead of five (the strip's two whole-doc
+    regex subs dominate the per-page cost)."""
+    doc = _strip_nontext(to_text(html))
+    return (
+        _text_from_doc(doc),
+        _meta_from_doc(doc),
+        _login_from_doc(doc),
+        _cookie_from_doc(doc),
+        _hrefs_from_doc(doc),
+    )
 
 
 # --- M3/S5: sub-resource references (CollectRequests analog) --------------

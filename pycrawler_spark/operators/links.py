@@ -33,8 +33,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from pycrawler_spark.config import CrawlConfig
 from pycrawler_spark.functions.udfs import (
     extract_hrefs_udf,
-    join_href_udf,
-    normalize_url_udf,
+    resolve_href_udf,
 )
 
 CANDIDATE_COLS = [
@@ -89,14 +88,22 @@ def candidate_links(
         F.lit(None).cast("string").alias("host"),
     )
 
+    # hrefs were already extracted in the wave's fused per-page UDF
+    # pass when available; fall back to extracting here otherwise
+    hrefs_col = (
+        F.col("hrefs") if "hrefs" in hits.columns
+        else extract_hrefs_udf(F.col("html"))
+    )
     exploded = hits.select(
         "task_id",
         F.col("seq").alias("parent_seq"),
         final_url.alias("parent_url"),
-        F.posexplode(extract_hrefs_udf(F.col("html"))).alias("pos", "href"),
+        F.posexplode(hrefs_col).alias("pos", "href"),
     )
+    # urljoin + PSL parse + normalize fused: one Arrow pass over the
+    # exploded links (the wave's biggest intermediate)
     parsed = exploded.withColumn(
-        "link", join_href_udf(F.col("parent_url"), F.col("href"))
+        "link", resolve_href_udf(F.col("parent_url"), F.col("href"))
     ).filter(F.col("link.url_full").isNotNull())
 
     j = parsed.join(F.broadcast(tasks_dim), "task_id")
@@ -119,7 +126,7 @@ def candidate_links(
         "parent_seq",
         "pos",
         F.col("link.url_full").alias("url"),
-        normalize_url_udf(F.col("link.url_full")).alias("url_norm"),
+        F.col("link.norm").alias("url_norm"),
         F.col("link.host").alias("host"),
     )
     budgets = tasks_dim.select("task_id", "budget")

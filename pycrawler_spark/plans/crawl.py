@@ -35,11 +35,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from pycrawler_spark.config import CrawlConfig
 from pycrawler_spark.functions.udfs import (
-    cookie_banner_udf,
-    extract_meta_udf,
-    extract_text_udf,
-    login_form_udf,
     normalize_url_udf,
+    page_features_udf,
     parse_url_udf,
     refresh_target_udf,
 )
@@ -565,7 +562,16 @@ class CrawlEngine:
         wave_b = (
             F.broadcast(wave_r) if n_sched <= cfg.broadcast_wave_max_rows else wave_r
         )
-        hits = pages.join(wave_b, "url_final", "inner").cache()
+        # single html->Python pass per wave: sha + fused extraction in
+        # the projection, html itself dropped from the cache (it is the
+        # fat column; only collect_requests still needs it downstream)
+        hits = pages.join(wave_b, "url_final", "inner").select(
+            "task_id", "url", "url_final", "url_norm", "final_norm",
+            "host", "depth", "seq", "from_url", "redirect_chain",
+            F.sha2(F.col("html"), 256).alias("body_sha256"),
+            page_features_udf(F.col("html")).alias("pf"),
+            *(["html"] if cfg.collect_requests else []),
+        ).cache()
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
         misses = wave_r.join(
@@ -586,12 +592,12 @@ class CrawlEngine:
             F.lit(200).alias("code"),
             F.lit("GET").alias("method"),
             F.lit("text/html").alias("content"),
-            extract_text_udf(F.col("html")).alias("extracted_text"),
-            extract_meta_udf(F.col("html")).alias("meta_headers"),
-            login_form_udf(F.col("html")).alias("has_login_form"),
-            cookie_banner_udf(F.col("html")).alias("has_cookie_banner"),
+            F.col("pf.extracted_text").alias("extracted_text"),
+            F.col("pf.meta_headers").alias("meta_headers"),
+            F.col("pf.has_login_form").alias("has_login_form"),
+            F.col("pf.has_cookie_banner").alias("has_cookie_banner"),
             "redirect_chain",
-            F.sha2(F.col("html"), 256).alias("body_sha256"),
+            "body_sha256",
         )
         miss_rows = misses.select(
             F.lit(wave_id).alias("wave_id"),
@@ -663,7 +669,10 @@ class CrawlEngine:
             # PSL parse pandas UDFs) feeds the bloom build, the seen
             # semi-join AND the dedup kernel — without the cache it
             # would recompute three times per wave.
-            cands = candidate_links(hits, tasks_dim, cfg, self.adult_sites).cache()
+            cands = candidate_links(
+                hits.withColumn("hrefs", F.col("pf.hrefs")),
+                tasks_dim, cfg, self.adult_sites,
+            ).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
@@ -723,7 +732,11 @@ class CrawlEngine:
             # of keys already in older deltas are harmless — every
             # consumer (bloom build, semi-join, kernel set) is
             # idempotent on duplicates — so no cross-history anti-join.
-            seen_delta = kout.select("task_id", "url_norm").distinct()
+            # no distinct: the kernel already emits each (task, norm)
+            # once per wave except redirected parents sharing a final
+            # url — every consumer (bloom, semi-join, kernel set) is
+            # duplicate-idempotent, and the distinct was a full shuffle
+            seen_delta = kout.select("task_id", "url_norm")
             # salted like the frontier: a mega-task's seen keys would
             # otherwise land in one partition
             seen_delta.repartition(
