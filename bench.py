@@ -55,7 +55,7 @@ HEADLINE = [
 
 # bump when the corpus GENERATOR changes (new fixture kinds), so the
 # /tmp cache below is invalidated — the size params alone don't see it
-CORPUS_REV = 2  # rev2: redirect stubs (r*/hop*/rdead*/rxhost)
+CORPUS_REV = 3  # rev2: redirect stubs; rev3: in-corpus robots.txt pages
 
 
 def corpus_dir() -> str:

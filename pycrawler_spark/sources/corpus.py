@@ -264,13 +264,24 @@ def generate_corpus(
     robots: List[Dict] = []
     for i, host in enumerate(hosts):
         if i % 2 == 0:
+            rules = "User-agent: *\nDisallow: /p7\nCrawl-delay: 2\n"
             robots.append(
+                {"host": host, "rules": rules, "crawl_delay": 2.0}
+            )
+            # robots.txt is ALSO a page of the corpus (a real crawl
+            # archive stores it like any other fetch): the engine can
+            # derive the robots table from the corpus alone
+            # (sources.robots.derive_robots) instead of a side table
+            pages.append(
                 {
-                    "host": host,
-                    "rules": "User-agent: *\nDisallow: /p7\nCrawl-delay: 2\n",
-                    "crawl_delay": 2.0,
+                    "url": f"https://{host}/robots.txt",
+                    "warc_ts": ts,
+                    "html": rules.encode("utf-8"),
+                    "text": " ".join(rules.split()),
+                    "lang": "en",
                 }
             )
+            ts += timedelta(seconds=1)
     return pages, seeds, robots
 
 

@@ -340,3 +340,24 @@ def test_stateful_token_bucket_scheduler(spark, tmp_path):
     # batch2: b bursts min(20, 8+10)=18 (STATE carried across batches)
     assert int(b2.granted.sum()) == 18
     assert sorted(b2[b2.granted].seq) == list(range(100, 118))
+
+
+def test_derive_robots_from_corpus(spark, tmp_path):
+    """Robots rules derived from the corpus's /robots.txt pages match
+    the generator's side-channel robots fixture exactly."""
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.sources.robots import derive_robots
+
+    pages_p, _, robots_p = write_corpus(
+        str(tmp_path / "c"), seed=42, n_hosts=6, pages_per_host=8, mega_factor=2
+    )
+    got = {
+        (r.host, r.rules, r.crawl_delay)
+        for r in derive_robots(spark.read.parquet(pages_p)).collect()
+    }
+    want = {
+        (r.host, r.rules, r.crawl_delay)
+        for r in spark.read.parquet(robots_p).collect()
+    }
+    assert got == want
+    assert len(got) > 0
