@@ -1015,6 +1015,95 @@ def _o35():
     """
 
 
+def _q36_sliding_window(spark, sf):
+    """Sliding event-time window (2h window, 1h slide) — the streaming
+    windowed-agg shape in batch form; each event lands in two windows."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def _o36():
+    # an event at ts belongs to the 2h/1h-slide windows starting at
+    # trunc_hour(ts) and trunc_hour(ts) - 1h
+    return """
+    SELECT window_start, event_type, count(*) AS n
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             event_type
+      FROM events
+    )
+    GROUP BY window_start, event_type
+    """
+
+
+def _q37_percentiles(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def _o37():
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """
+
+
+def _q38_training_data_filter(spark, sf):
+    """Composite training-data curation pipeline over documents: exact
+    dedup (first doc_id per normalized text wins) -> min-length filter
+    -> per-lang corpus stats. The canonical pre-training data shape:
+    dedup, quality-gate, audit counts."""
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_words", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .filter(F.col("n_words") >= 10)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def _o38():
+    return """
+    WITH dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY lower(trim(text))
+                                   ORDER BY doc_id) AS rn
+      FROM documents
+    ), kept AS (
+      SELECT lang, n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+      FROM dedup WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM kept WHERE n_words >= 10
+    GROUP BY lang
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1124,6 +1213,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_dominant_supplier": _q33_dominant_supplier,
     "q34_cheapest_supplier": _q34_cheapest_supplier,
     "q35_cube": _q35_cube,
+    "q36_sliding_window": _q36_sliding_window,
+    "q37_percentiles": _q37_percentiles,
+    "q38_training_data_filter": _q38_training_data_filter,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1165,6 +1257,9 @@ _ORACLES: dict[str, str] = {
     "q33_dominant_supplier": _o33(),
     "q34_cheapest_supplier": _o34(),
     "q35_cube": _o35(),
+    "q36_sliding_window": _o36(),
+    "q37_percentiles": _o37(),
+    "q38_training_data_filter": _o38(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead
