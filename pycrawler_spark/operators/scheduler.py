@@ -49,23 +49,41 @@ def schedule_wave(
     robots: DataFrame | None,
     host_budget: int,
     obey_robots: bool,
+    wave_interval_ms: int = 60_000,
 ) -> DataFrame:
     """Returns the frontier rows annotated with ``granted`` (fetch this
     wave) / ``blocked`` (robots-disallowed -> never fetch).
 
-    ``free_rows``: columns _IN_COLS. ``robots``: (host, rules) or None.
-    """
+    ``free_rows``: columns _IN_COLS. ``robots``: (host, rules
+    [, crawl_delay]) or None. A robots ``Crawl-delay`` tightens the
+    per-host cap below ``host_budget``: at most
+    ``wave_interval / crawl_delay`` fetches of that host fit in one
+    wave interval (the reference never implemented robots at all —
+    TODO at config-example.py:57 — so this is engine-defined, north
+    rule)."""
     if robots is None:
         from pycrawler_spark.util import empty_df
 
         robots = empty_df(free_rows.sparkSession, "host string, rules string")
-    rb = robots.select("host", "rules")
+    rb_cols = ["host", "rules"] + (
+        ["crawl_delay"] if "crawl_delay" in robots.columns else []
+    )
+    rb = robots.select(*rb_cols)
 
     def plan(key, rows: pd.DataFrame, rb_rows: pd.DataFrame) -> pd.DataFrame:
         parser = None
+        budget = host_budget
         if obey_robots and len(rb_rows):
             parser = urllib.robotparser.RobotFileParser()
             parser.parse(str(rb_rows.iloc[0]["rules"]).splitlines())
+            delay = (
+                rb_rows.iloc[0].get("crawl_delay")
+                if "crawl_delay" in rb_rows.columns else None
+            )
+            if delay is not None and not pd.isna(delay) and float(delay) > 0:
+                budget = min(
+                    budget, max(1, int(wave_interval_ms / (float(delay) * 1000)))
+                )
         rows = rows.sort_values("seq", kind="mergesort")
         blocked: List[bool] = []
         granted: List[bool] = []
@@ -76,7 +94,7 @@ def schedule_wave(
                 granted.append(False)
                 continue
             blocked.append(False)
-            if used < host_budget:
+            if used < budget:
                 granted.append(True)
                 used += 1
             else:

@@ -534,7 +534,8 @@ class CrawlEngine:
                 ).distinct()
                 free_d = free_d.join(done, ["task_id", "url_norm"], "left_anti")
             sched = schedule_wave(
-                free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots
+                free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots,
+                wave_interval_ms=cfg.wave_interval_ms,
             ).cache()
             wave = sched.filter(F.col("granted")).select(
                 "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"

@@ -202,3 +202,36 @@ def test_compaction_preserves_state_and_future_ingest(spark, tmp_path):
     assert eng.table("fetches").filter(
         F.col("task_id").isin([1, 2, 3])
     ).count() == n_old
+
+
+def test_crawl_delay_caps_host_budget(spark):
+    """T7/north rule: a robots Crawl-delay tightens the per-host
+    per-wave cap to wave_interval/delay; hosts without a delay keep
+    the politeness budget."""
+    from pycrawler_spark.operators.scheduler import schedule_wave
+
+    rows = [
+        (1, f"https://{h}/p{i}", f"https://{h}/p{i}", h, 1, 1, i, None)
+        for h in ("a.com", "b.org")
+        for i in range(12)
+    ]
+    free = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[6], r[7]) for r in rows],
+        "task_id long, url string, url_norm string, host string, "
+        "depth int, seq long, from_url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 2\n", 2.0)],
+        "host string, rules string, crawl_delay double",
+    )
+    sched = schedule_wave(
+        free, robots, host_budget=1000, obey_robots=True,
+        wave_interval_ms=10_000,
+    ).toPandas()
+    a = sched[sched.host == "a.com"]
+    b = sched[sched.host == "b.org"]
+    # 10 s / 2 s delay -> 5 fetches of a.com per wave, seq-prefix order
+    assert int(a.granted.sum()) == 5
+    assert sorted(a[a.granted].seq) == [0, 1, 2, 3, 4]
+    assert int(b.granted.sum()) == 12
+    assert not a.blocked.any() and not b.blocked.any()
