@@ -380,6 +380,13 @@ class CrawlEngine:
             pages = self.spark.read.parquet(self.pages_path).select("url", "html")
             tmp = d + "_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
+            # JVM-side prefilter: only pages that can contain a refresh
+            # directive ever cross the Arrow boundary — "refresh" is
+            # ASCII, so the byte-wise cast+rlike can never miss a page
+            # the Python parser would accept
+            pages = pages.filter(
+                F.col("html").cast("string").rlike("(?i)refresh")
+            )
             (
                 pages.select(
                     F.col("url").alias("url_final"),
