@@ -520,11 +520,13 @@ class CrawlEngine:
                         "blocked": 0, "exhausted": True}
             rel_waves = [x for x in frontier_waves if x > last_fetch]
             frontier = self._read("frontier", rel_waves)
+            # no cache: wave_r (the redirect-resolved superset) is the
+            # cached handle in this path
             wave = frontier.filter(
                 (F.col("depth") == depth) & (F.col("repetition") == 1)
             ).select(
                 "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"
-            ).cache()
+            )
             blocked = None
             n_blocked = 0
         else:
@@ -645,10 +647,13 @@ class CrawlEngine:
             fetch_rows = fetch_rows.unionByName(blocked_rows)
         # O3 repetitions: each scheduled URL is revisited k times
         # consecutively (database.py:275-279); same corpus -> same result.
-        fetch_rows = fetch_rows.withColumn(
-            "repetition",
-            F.explode(F.sequence(F.lit(1), F.lit(cfg.repetitions))),
-        ).select(*FETCH_COLS)
+        rep_col = (
+            F.lit(1) if cfg.repetitions == 1
+            else F.explode(F.sequence(F.lit(1), F.lit(cfg.repetitions)))
+        )
+        fetch_rows = fetch_rows.withColumn("repetition", rep_col).select(
+            *FETCH_COLS
+        )
         fetch_rows.write.parquet(self._dir("fetches", wave_id))
         trace("fetches written")
 
@@ -839,7 +844,8 @@ class CrawlEngine:
 
         hits.unpersist()
         wave_r.unpersist()
-        wave.unpersist()
+        if use_scheduler:
+            wave.unpersist()
         if use_scheduler:
             sched.unpersist()
 
