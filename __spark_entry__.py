@@ -1104,6 +1104,28 @@ def _o38():
     """
 
 
+def _q39_cosine_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs (training-data dedup op): exact
+    pairwise cosine >= 0.35 (synthetic embeddings have no >0.5 pairs;
+    the threshold parameterizes the operator, the oracle checks the
+    math)."""
+    from pycrawler_spark.operators.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_dup_pairs(e, 0.35)
+
+
+def _o39():
+    return """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1216,6 +1238,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_sliding_window": _q36_sliding_window,
     "q37_percentiles": _q37_percentiles,
     "q38_training_data_filter": _q38_training_data_filter,
+    "q39_cosine_dup_pairs": _q39_cosine_dup_pairs,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1260,6 +1283,7 @@ _ORACLES: dict[str, str] = {
     "q36_sliding_window": _o36(),
     "q37_percentiles": _o37(),
     "q38_training_data_filter": _o38(),
+    "q39_cosine_dup_pairs": _o39(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

@@ -118,3 +118,36 @@ def lsh_topk(
     probes = _probe_buckets(qbucket, bits, n_flip)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, emb_col)
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup op):
+    all (id_a < id_b) pairs with cosine >= threshold, JVM-side
+    arithmetic only.
+
+    This is the exact O(n^2) baseline (right below ~10^6 rows after
+    blocking); the scale path composes :func:`add_lsh_bucket` first and
+    runs it per bucket — candidates outside a shared LSH bucket cannot
+    be near-duplicates at high thresholds.
+    """
+    # double math end-to-end: float32 products differ from an
+    # oracle computing in double by ~1e-8, which flips round(.,6) ties
+    va = F.col(vec_col).cast("array<double>")
+    a = emb.select(F.col(id_col).alias("id_a"), va.alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), va.alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        " / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"
+        " * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))"
+    )
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
