@@ -144,6 +144,17 @@ def page_features_udf(html: pd.Series) -> pd.DataFrame:
         rows, columns=[f.name for f in PAGE_FEATURES_STRUCT.fields]
     )
 
+
+@pandas_udf(PAGE_FEATURES_STRUCT)
+def page_features_nolinks_udf(html: pd.Series) -> pd.DataFrame:
+    """page_features without href extraction — for waves at the final
+    crawl depth (no link collection; the leaf wave is the largest one
+    in a BFS crawl). Same schema; hrefs column is null."""
+    rows = [htmlkit.page_features(h, with_hrefs=False) for h in html]
+    return pd.DataFrame(
+        rows, columns=[f.name for f in PAGE_FEATURES_STRUCT.fields]
+    )
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     """F1 link extraction: a[href] values in document order

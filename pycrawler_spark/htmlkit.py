@@ -289,19 +289,21 @@ def _cookie_from_doc(doc: str) -> bool:
     return False
 
 
-def page_features(html: "bytes | str | None"):
+def page_features(html: "bytes | str | None", with_hrefs: bool = True):
     """Fused per-page extraction for the fetch wave's single
     html->Python pass: (extracted_text, meta_headers, has_login_form,
     has_cookie_banner, hrefs) computed over ONE decode + ONE
     comment/script strip instead of five (the strip's two whole-doc
-    regex subs dominate the per-page cost)."""
+    regex subs dominate the per-page cost). ``with_hrefs=False`` skips
+    link extraction for waves that collect no links (the final crawl
+    depth — the largest wave of a BFS crawl)."""
     doc = _strip_nontext(to_text(html))
     return (
         _text_from_doc(doc),
         _meta_from_doc(doc),
         _login_from_doc(doc),
         _cookie_from_doc(doc),
-        _hrefs_from_doc(doc),
+        _hrefs_from_doc(doc) if with_hrefs else None,
     )
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pycrawler_spark.config import CrawlConfig
 from pycrawler_spark.functions.udfs import (
     normalize_url_udf,
+    page_features_nolinks_udf,
     page_features_udf,
     parse_url_udf,
     refresh_target_udf,
@@ -574,12 +575,15 @@ class CrawlEngine:
         )
         # single html->Python pass per wave: sha + fused extraction in
         # the projection, html itself dropped from the cache (it is the
-        # fat column; only collect_requests still needs it downstream)
+        # fat column; only collect_requests still needs it downstream).
+        # The final depth collects no links -> skip href extraction
+        collect_links = depth < cfg.depth and cfg.recursive
+        pf_udf = page_features_udf if collect_links else page_features_nolinks_udf
         hits = pages.join(wave_b, "url_final", "inner").select(
             "task_id", "url", "url_final", "url_norm", "final_norm",
             "host", "depth", "seq", "from_url", "redirect_chain",
             F.sha2(F.col("html"), 256).alias("body_sha256"),
-            page_features_udf(F.col("html")).alias("pf"),
+            pf_udf(F.col("html")).alias("pf"),
             *(["html"] if cfg.collect_requests else []),
         ).cache()
         # miss = requested url absent from corpus (chain empty) OR the
