@@ -104,3 +104,57 @@ def frame_sample(media: DataFrame, every_n: int = 8, fake: bool = True) -> DataF
                        F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary, "
+    "resize_ok boolean, resize_error string"
+)
+
+
+def resize(
+    media: DataFrame, target_w: int, target_h: int, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing for image rows (mapInPandas, Arrow batches).
+
+    The real kernel is stubbed like decode (needs Pillow); the fake
+    kernel deterministically clamps dims to the target and passes the
+    payload through, so the Spark-side contract — schema, batching,
+    error rows for corrupt payloads — is testable end-to-end."""
+
+    def _fake_resize(payload: bytes):
+        h = hashlib.md5(payload or b"").digest()
+        w0, h0 = 1 + h[0] % 64, 1 + h[1] % 64
+        return min(w0, target_w), min(h0, target_h), payload
+
+    def _real_resize(payload: bytes):
+        raise NotImplementedError(
+            "real image resize requires Pillow — wire it here (contract: "
+            "return (new_w, new_h, resized_bytes))"
+        )
+
+    kernel = _fake_resize if fake else _real_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                try:
+                    w, h, out = kernel(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    rows.append((mid, kind, w, h, out, True, None))
+                except Exception as e:
+                    rows.append(
+                        (mid, kind, None, None, None, False,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "payload",
+                         "resize_ok", "resize_error"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

@@ -126,6 +126,15 @@ def test_media_feature_plumbing(spark):
     frames = frame_sample(media, every_n=4, fake=True).collect()
     assert all(r.frame_idx % 4 == 0 for r in frames)
 
+    # resize plumbing: image rows only, dims clamped to target,
+    # payload carried through, deterministic
+    from pycrawler_spark.operators.media import resize
+
+    rs = {r.media_id: r for r in resize(media, 32, 32, fake=True).collect()}
+    assert set(rs) == {1}
+    assert rs[1].resize_ok and rs[1].width <= 32 and rs[1].height <= 32
+    assert bytes(rs[1].payload) == b"\x89PNGfake"
+
     # real path is stubbed: must raise NotImplementedError, not succeed
     import pytest as _pt
 
