@@ -569,7 +569,12 @@ class CrawlEngine:
         pages = self.spark.read.parquet(self.pages_path).select(
             F.col("url").alias("url_final"), "html", "warc_ts"
         )
-        # broadcast the wave side: the corpus (100 TB) must never shuffle
+        # broadcast the wave side: the corpus (100 TB) must never
+        # shuffle. Above the broadcast cap the join degrades to a
+        # shuffle join — there the runtime bloom filter (session.py)
+        # prunes corpus rows before the exchange, and a production
+        # deployment stores the corpus bucketed by host (Iceberg
+        # bucket(N, host)) so the join co-locates without moving html.
         wave_b = (
             F.broadcast(wave_r) if n_sched <= cfg.broadcast_wave_max_rows else wave_r
         )

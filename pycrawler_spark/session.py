@@ -64,6 +64,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # When a fetch wave outgrows the broadcast cap the corpus side
+        # of the fetch join would shuffle; the runtime bloom filter
+        # (built from the wave side) prunes corpus rows BEFORE the
+        # exchange so only candidate pages move. creationSideThreshold
+        # raised so waves of ~10^7 slim url rows still build a filter.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(256 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
