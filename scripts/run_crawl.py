@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     ap.add_argument("--politeness", action="store_true")
     ap.add_argument("--obey-robots", action="store_true")
     ap.add_argument("--robots", default=None)
+    ap.add_argument("--derive-robots", action="store_true",
+                    help="derive the robots table from the corpus's own "
+                         "/robots.txt pages (sources.robots)")
     ap.add_argument("--collect-requests", action="store_true")
     ap.add_argument("--login-seed-injection", action="store_true")
     ap.add_argument("--resume", action="store_true")
@@ -55,6 +58,10 @@ def main(argv=None) -> int:
     )
     eng = CrawlEngine(spark, args.workdir, cfg, job=args.job)
     robots = spark.read.parquet(args.robots) if args.robots else None
+    if robots is None and args.derive_robots:
+        from pycrawler_spark.sources.robots import derive_robots
+
+        robots = derive_robots(spark.read.parquet(args.pages))
     if args.resume:
         eng.resume()
         eng.robots = robots
@@ -66,7 +73,12 @@ def main(argv=None) -> int:
     for s in stats:
         print(json.dumps(s))
     total = sum(s["scheduled"] + s["found"] for s in stats)
-    print(json.dumps({"total_urls": total, "waves": len(stats)}))
+    wall = sum(s["wall_sec"] for s in stats)
+    print(json.dumps({
+        "total_urls": total, "waves": len(stats),
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(total / max(wall, 1e-9), 1),
+    }))
     spark.stop()
     return 0
 
