@@ -907,6 +907,12 @@ class CrawlEngine:
             if len(waves) <= 1:
                 continue
             df = self._read(table, waves)
+            if df is not None and table == "seen":
+                # seen is a SET; per-wave deltas may repeat keys
+                # (consumers are duplicate-idempotent, so deltas skip
+                # the dedup shuffle) — compaction is the right place
+                # to collapse them
+                df = df.dropDuplicates(["task_id", "url_norm"])
             if df is None:
                 continue
             tmp = os.path.join(self.workdir, table, "_compact_tmp")
