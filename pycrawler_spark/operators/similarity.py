@@ -12,7 +12,7 @@ Two paths over ``embeddings(vec_id, embedding: array<float>, ...)``:
   touches a ~1/2^bits fraction of rows.
 
 Recall of the LSH path against the brute-force baseline is asserted
-in tests (tests/test_similarity.py).
+in tests (tests/test_dataops.py).
 """
 
 from __future__ import annotations

@@ -88,7 +88,7 @@ def resolve_chain(
     pages: Dict[str, Optional[bytes]], url: str, cfg: CrawlConfig
 ) -> Tuple[str, Optional[bytes], List[Tuple[str, int, str]]]:
     """Follow zero-delay meta-refresh stubs through the corpus — the
-    simulator twin of CrawlEngine._resolve_redirects (K2/J5,
+    simulator twin of CrawlEngine._resolve_targets (K2/J5,
     crawler.py:145-150 chain walk). Returns (final_url, final_html,
     chain); after max_redirects hops the current stub is final."""
     chain: List[Tuple[str, int, str]] = []
