@@ -590,7 +590,12 @@ class CrawlEngine:
             F.sha2(F.col("html"), 256).alias("body_sha256"),
             pf_udf(F.col("html")).alias("pf"),
             *(["html"] if cfg.collect_requests else []),
-        ).cache()
+        )
+        # cache only when a second consumer exists (candidate stage /
+        # requests); the final-depth wave reads hits exactly once
+        cache_hits = collect_links or cfg.collect_requests
+        if cache_hits:
+            hits = hits.cache()
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
         misses = wave_r.join(
@@ -851,7 +856,8 @@ class CrawlEngine:
             trace("lineage written")
             wrote.append("lineage")
 
-        hits.unpersist()
+        if cache_hits:
+            hits.unpersist()
         wave_r.unpersist()
         if use_scheduler:
             wave.unpersist()
