@@ -565,7 +565,13 @@ class CrawlEngine:
         # precomputed edges table, so the join runs on the FINAL url
         # and the corpus is scanned exactly once per wave
         edges = self._redirect_edges()
-        wave_r = self._resolve_targets(wave, edges).cache()
+        # localCheckpoint, not cache: the resolved wave's plan (redirect
+        # joins) feeds 5-6 jobs per wave, and each would re-analyze the
+        # full lineage; truncating it makes every downstream plan tiny.
+        # (Rows are small — wave keys only. On executor loss Spark
+        # recomputes the wave from the manifest replay, same as any
+        # interrupted wave, so the durability tradeoff is nil here.)
+        wave_r = self._resolve_targets(wave, edges).localCheckpoint(eager=True)
         pages = self.spark.read.parquet(self.pages_path).select(
             F.col("url").alias("url_final"), "html", "warc_ts"
         )
