@@ -601,7 +601,10 @@ class CrawlEngine:
         # requests); the final-depth wave reads hits exactly once
         cache_hits = collect_links or cfg.collect_requests
         if cache_hits:
-            hits = hits.cache()
+            # lineage-truncating persist (see wave_r note above): the
+            # candidate/kernel jobs would otherwise re-analyze the
+            # fetch join + UDF plan on every action
+            hits = hits.localCheckpoint(eager=False)
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
         misses = wave_r.join(
@@ -722,7 +725,7 @@ class CrawlEngine:
             trace("seen_rel defined")
             if trace_on:
                 trace(f"cands materialized ({cands.count()})")
-            kout = dedup_budget_kernel(cands, seen_rel, cfg).cache()
+            kout = dedup_budget_kernel(cands, seen_rel, cfg).localCheckpoint(eager=False)
             if trace_on:
                 trace(f"kernel materialized ({kout.count()})")
 
