@@ -737,8 +737,9 @@ def _q25_sessionize(spark, sf):
 def _o25():
     return """
     SELECT user_id, event_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -948,7 +949,7 @@ def _o33():
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), d AS (
       SELECT l_partkey, l_suppkey, qty,
-             sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+             CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty
       FROM per
     )
     SELECT l_partkey AS partkey, s_name AS supplier_name, qty, part_qty
