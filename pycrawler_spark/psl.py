@@ -1,24 +1,37 @@
-"""Minimal public-suffix handling.
+"""Public-suffix handling (X2): shipped subset + full-PSL loader.
 
 The reference resolves eTLD+1 ("fld") via the ``tld`` PyPI package
 (/root/reference/utils.py:37-41, 74-75), which embeds the Mozilla
 Public Suffix List. That package is not available in this container,
-so we ship a compact PSL subset sufficient for the test corpora plus
-the common ICANN TLDs; a production deployment would load the full
-``public_suffix_list.dat`` into :data:`SUFFIXES` at startup (it is a
-plain set of strings — no code change needed).
+so by default we ship a compact PSL subset sufficient for the test
+corpora plus the common ICANN TLDs. :func:`load_psl` ingests a full
+``public_suffix_list.dat`` (including wildcard ``*.ck`` and exception
+``!www.ck`` rules) when one is available.
 
-Matching algorithm (same outcome as ``tld.get_tld``):
+Loading on a cluster: executors import this module fresh, so a
+driver-side :func:`load_psl` call does not reach them. Set
+``PYCRAWLER_PSL_PATH`` (checked at import time on every process — use
+``spark.executorEnv.PYCRAWLER_PSL_PATH`` plus ``--files`` to ship the
+dat file) and both driver and executors load the same list.
+
+Matching algorithm (publicsuffix.org spec, same outcome as
+``tld.get_tld``):
   * split the hostname into labels,
-  * the public suffix is the *longest* suffix of labels present in
-    :data:`SUFFIXES`,
+  * an exception rule ``!x.y.z`` matching the host wins outright and
+    names ``y.z`` as the public suffix,
+  * otherwise the public suffix is the *longest* label-suffix matched
+    by a plain rule or a wildcard rule (``*.y`` matches ``<any>.y``),
   * the "fld" (first level domain, eTLD+1) is one label + the suffix,
   * a hostname that has no known suffix, or that *is* a bare suffix,
-    has no fld (the reference raises TldDomainNotFound -> we return None).
+    has no fld (the reference raises TldDomainNotFound -> we return
+    None). The spec's implicit ``*`` default rule is intentionally NOT
+    applied: the reference's ``tld`` package rejects unknown TLDs
+    (add_tasks_tranco.py:22-24 skips such seeds), so we must too.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 # ICANN gTLDs / ccTLDs + common multi-label suffixes + private suffixes
@@ -56,16 +69,105 @@ SUFFIXES: set[str] = {
     "amazonaws.com", "wordpress.com", "tumblr.com", "fastly.net",
 }
 
-_MAX_SUFFIX_LABELS = max(s.count(".") for s in SUFFIXES) + 1
+# --- active rule sets (module state; executors rebuild it at import) ----
+# _PLAIN: plain rules ("co.uk"); _WILDCARD: base of "*.X" rules (the X);
+# _EXCEPTION: full host form of "!Y" rules (the Y, without the bang).
+_PLAIN: set[str] = set(SUFFIXES)
+_WILDCARD: set[str] = set()
+_EXCEPTION: set[str] = set()
+_MAX_SUFFIX_LABELS = max(s.count(".") for s in _PLAIN) + 1
+_LOADED_FROM: Optional[str] = None
+
+
+def _rebuild_bounds() -> None:
+    global _MAX_SUFFIX_LABELS
+    mx = max((s.count(".") for s in _PLAIN), default=0)
+    # a wildcard rule *.X matches one label more than X has
+    mx = max(mx, max((s.count(".") + 1 for s in _WILDCARD), default=0))
+    mx = max(mx, max((s.count(".") for s in _EXCEPTION), default=0))
+    _MAX_SUFFIX_LABELS = mx + 1
+
+
+def parse_psl(text: str) -> tuple[set[str], set[str], set[str]]:
+    """Parse ``public_suffix_list.dat`` content into
+    (plain, wildcard-base, exception) rule sets. Comments (``//``) and
+    blank lines are skipped; both ICANN and PRIVATE sections are kept
+    (the ``tld`` package's default list includes both)."""
+    plain: set[str] = set()
+    wild: set[str] = set()
+    exc: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower().lstrip(".")
+        if rule.startswith("!"):
+            exc.add(rule[1:])
+        elif rule.startswith("*."):
+            wild.add(rule[2:])
+        elif rule == "*":
+            continue  # bare-* rule: would accept every TLD; see module doc
+        else:
+            plain.add(rule)
+    return plain, wild, exc
+
+
+def load_psl(path: Optional[str] = None) -> int:
+    """Load a full PSL dat file, REPLACING the shipped subset. Returns
+    the number of rules loaded. With ``path=None``, tries
+    ``$PYCRAWLER_PSL_PATH`` then common system locations; silently
+    keeps the shipped subset when nothing is found (returns 0)."""
+    global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
+    candidates = (
+        [path]
+        if path
+        else [
+            os.environ.get("PYCRAWLER_PSL_PATH"),
+            "/usr/share/publicsuffix/public_suffix_list.dat",
+            "/etc/publicsuffix/public_suffix_list.dat",
+        ]
+    )
+    for p in candidates:
+        if p and os.path.isfile(p):
+            with open(p, encoding="utf-8") as f:
+                plain, wild, exc = parse_psl(f.read())
+            if not plain:
+                continue
+            _PLAIN, _WILDCARD, _EXCEPTION = plain, wild, exc
+            _LOADED_FROM = p
+            _rebuild_bounds()
+            return len(plain) + len(wild) + len(exc)
+    if path:
+        raise FileNotFoundError(path)
+    return 0
+
+
+def reset_psl() -> None:
+    """Restore the shipped subset (test hook)."""
+    global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
+    _PLAIN, _WILDCARD, _EXCEPTION = set(SUFFIXES), set(), set()
+    _LOADED_FROM = None
+    _rebuild_bounds()
+
+
+# auto-load on import so executor processes pick the list up too
+if os.environ.get("PYCRAWLER_PSL_PATH"):
+    load_psl()
 
 
 def public_suffix(host: str) -> Optional[str]:
-    """Longest known public suffix of ``host``, or None."""
+    """Public suffix of ``host`` per the PSL algorithm, or None."""
     labels = host.split(".")
     n = len(labels)
     for take in range(min(_MAX_SUFFIX_LABELS, n), 0, -1):
         cand = ".".join(labels[n - take:])
-        if cand in SUFFIXES:
+        # exception rule wins over any same-or-shorter match and names
+        # the suffix one label shorter than itself
+        if cand in _EXCEPTION:
+            return ".".join(labels[n - take + 1:])
+        if cand in _PLAIN:
+            return cand
+        if take >= 2 and ".".join(labels[n - take + 1:]) in _WILDCARD:
             return cand
     return None
 

@@ -132,3 +132,59 @@ def test_seen_key_collapses_spellings():
     ]
     keys = {urlkit.seen_key(v) for v in variants}
     assert keys == {"https://site0.com/p3"}
+
+
+# --- X2 full-PSL loader (wildcard / exception rules) -------------------------
+
+def test_load_psl_wildcard_and_exception(tmp_path):
+    from pycrawler_spark import psl
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "uk\n"
+        "co.uk\n"
+        "ck\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "github.io\n"
+    )
+    try:
+        n = psl.load_psl(str(dat))
+        assert n == 7
+        # plain rules
+        assert psl.public_suffix("example.co.uk") == "co.uk"
+        assert psl.fld("a.b.example.co.uk") == "example.co.uk"
+        # wildcard: *.ck makes foo.ck a public suffix
+        assert psl.public_suffix("bar.foo.ck") == "foo.ck"
+        assert psl.fld("bar.foo.ck") == "bar.foo.ck"
+        assert psl.fld("deep.bar.foo.ck") == "bar.foo.ck"
+        # a bare wildcard-matched suffix has no fld
+        assert psl.fld("foo.ck") is None
+        # exception: !www.ck carves www.ck back out as registrable
+        assert psl.public_suffix("www.ck") == "ck"
+        assert psl.fld("www.ck") == "www.ck"
+        assert psl.fld("sub.www.ck") == "www.ck"
+        # private-section rule kept
+        assert psl.fld("user.github.io") == "user.github.io"
+        # rules absent from the custom list no longer match
+        assert psl.fld("example.de") is None
+    finally:
+        psl.reset_psl()
+    # shipped subset restored
+    assert psl.fld("example.de") == "example.de"
+    assert psl.fld("bar.foo.ck") is None
+
+
+def test_load_psl_missing_path_raises(tmp_path):
+    import pytest
+
+    from pycrawler_spark import psl
+
+    with pytest.raises(FileNotFoundError):
+        psl.load_psl(str(tmp_path / "nope.dat"))
+    # state untouched on failure
+    assert psl.fld("example.com") == "example.com"
