@@ -131,9 +131,10 @@ def cosine_dup_pairs(
     arithmetic only.
 
     This is the exact O(n^2) baseline (right below ~10^6 rows after
-    blocking); the scale path composes :func:`add_lsh_bucket` first and
-    runs it per bucket — candidates outside a shared LSH bucket cannot
-    be near-duplicates at high thresholds.
+    blocking); the scale path is :func:`lsh_blocked_cosine_pairs`,
+    which blocks by random-hyperplane bucket first — candidates far
+    apart in sign-space are overwhelmingly unlikely to be
+    near-duplicates at high thresholds.
     """
     # double math end-to-end: float32 products differ from an
     # oracle computing in double by ~1e-8, which flips round(.,6) ties
@@ -141,6 +142,61 @@ def cosine_dup_pairs(
     a = emb.select(F.col(id_col).alias("id_a"), va.alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), va.alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        " / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"
+        " * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))"
+    )
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def lsh_blocked_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    n_flip: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-blocked — the
+    100 TB path promised by :func:`cosine_dup_pairs`.
+
+    Plan shape: one :func:`add_lsh_bucket` pass (numpy matmul per Arrow
+    batch), then an equi-join on bucket id instead of a cross product —
+    the shuffle is keyed by a 4-byte bucket, each task pairs only
+    within one bucket (~n/2^bits rows), and the exact double-precision
+    cosine runs only on candidate pairs. Multi-probe (``n_flip=1``
+    flips each signature bit once on ONE side of the join) recovers
+    pairs that straddle a hyperplane; because only side B explodes to
+    probe buckets and side A keeps its own bucket, every qualifying
+    pair meets on exactly one key — no distinct needed.
+
+    Recall vs the exact :func:`cosine_dup_pairs` is probabilistic
+    (rises with n_flip, falls with bits); asserted in
+    tests/test_dataops.py on the test embeddings.
+    """
+    b = add_lsh_bucket(emb, dim, bits, seed, vec_col)
+    va = F.col(vec_col).cast("array<double>")
+    left = b.select(
+        F.col(id_col).alias("id_a"), va.alias("va"), F.col("bucket")
+    )
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(bits)]) \
+        if n_flip >= 1 else F.array(F.lit(0))
+    right = (
+        b.select(F.col(id_col).alias("id_b"), va.alias("vb"), "bucket")
+        .withColumn("probe", F.explode(flips))
+        .select(
+            "id_b", "vb",
+            F.col("bucket").bitwiseXOR(F.col("probe")).alias("bucket"),
+        )
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
         " / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"

@@ -102,6 +102,42 @@ def test_similarity_brute_force_and_lsh_recall(spark):
     bucketed.unpersist()
 
 
+def test_lsh_blocked_cosine_pairs_recall(spark):
+    """The blocked near-dup path must recover (nearly) all exact pairs
+    at a high threshold while generating far fewer candidate pairs
+    than the O(n^2) cross product."""
+    import numpy as np
+
+    from pycrawler_spark.operators.similarity import (
+        cosine_dup_pairs,
+        lsh_blocked_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(1)
+    dim, n = 16, 300
+    base = rng.standard_normal((n, dim)).astype("float32")
+    # plant near-duplicates: rows n..n+49 are jittered copies of 0..49
+    dups = base[:50] + 0.05 * rng.standard_normal((50, dim)).astype("float32")
+    vecs = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    thr = 0.9
+    exact = {(r.id_a, r.id_b) for r in cosine_dup_pairs(df, thr).collect()}
+    assert len(exact) >= 40  # the planted pairs are found by the oracle path
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in lsh_blocked_cosine_pairs(
+            df, thr, dim=dim, bits=8, n_flip=1
+        ).collect()
+    }
+    assert blocked <= exact  # blocking can only lose pairs, never invent
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, f"blocked cosine recall too low: {recall}"
+    df.unpersist()
+
+
 def test_media_feature_plumbing(spark):
     from pycrawler_spark.operators.media import extract_features, frame_sample
 
