@@ -62,9 +62,14 @@ FRONTIER_STREAM_SCHEMA = (
 )
 
 
-def _bucket_fn(refill: int, capacity: int, robots_rules: dict):
-    """Build the per-host stateful kernel (closure over broadcastable
-    plain-python config; robots_rules: host -> rules text)."""
+def _bucket_fn(refill: int, capacity: int, robots_bc):
+    """Build the per-host stateful kernel. ``robots_bc`` is a Spark
+    broadcast of the host->rules dict (or None): the closure carries
+    only the broadcast HANDLE, so each executor fetches the rules
+    table once via the torrent protocol instead of every task
+    deserializing a full copy from the pickled closure — at millions
+    of hosts the closure route would blow both driver memory and
+    per-task setup."""
     import urllib.robotparser
 
     def fn(
@@ -77,7 +82,7 @@ def _bucket_fn(refill: int, capacity: int, robots_rules: dict):
         tokens = min(capacity, tokens + refill)
 
         parser: Optional[urllib.robotparser.RobotFileParser] = None
-        rules = robots_rules.get(host)
+        rules = robots_bc.value.get(host) if robots_bc is not None else None
         if rules is not None:
             parser = urllib.robotparser.RobotFileParser()
             parser.parse(str(rules).splitlines())
@@ -143,9 +148,14 @@ def stream_schedule(
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
-    rules = {}
+    robots_bc = None
     if robots is not None:
+        # collect once on the driver, ship via broadcast (not closure):
+        # the rules dict is a lookup table keyed by the GROUPING key,
+        # so a stream-static join would force a second shuffle of the
+        # frontier — broadcast keeps the single host-shuffle plan
         rules = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
+        robots_bc = spark.sparkContext.broadcast(rules)
 
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
@@ -157,7 +167,7 @@ def stream_schedule(
     scheduled = (
         stream.groupBy("host")
         .applyInPandasWithState(
-            _bucket_fn(refill, capacity, rules),
+            _bucket_fn(refill, capacity, robots_bc),
             outputStructType=GRANT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -146,7 +146,20 @@ def decode(data: str) -> Dict[str, str]:
     _put("url", lambda: urllib.parse.unquote(data))
     _put("html", lambda: _htmllib.unescape(data))
     _put("rot13", lambda: codecs.decode(data, "rot_13"))
-    _put("unicode", lambda: bytes(data, "utf-8").decode("unicode_escape"))
+
+    def _unicode_escape():
+        # arbitrary input routinely contains invalid escapes ("\d" in a
+        # regex-looking string); Python warns today and will raise in a
+        # future version — scoped suppression keeps the decode
+        # best-effort without masking other warnings
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            warnings.simplefilter("ignore", SyntaxWarning)
+            return bytes(data, "utf-8").decode("unicode_escape")
+
+    _put("unicode", _unicode_escape)
     _put("punycode", lambda: data.encode().decode("idna"))
     _put("base64", lambda: base64.b64decode(data))
     _put("hex", lambda: bytes.fromhex(data))
