@@ -25,7 +25,7 @@ Two-stage design (SURVEY.md §4 "custom engine code"):
 from __future__ import annotations
 
 import hashlib
-from typing import List
+from typing import Callable, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -59,6 +59,7 @@ def candidate_links(
     tasks_dim: DataFrame,
     cfg: CrawlConfig,
     adult_sites: DataFrame | None = None,
+    url_filters: Optional[List[Callable]] = None,
 ) -> DataFrame:
     """Distributed candidate pipeline.
 
@@ -71,6 +72,18 @@ def candidate_links(
     the requested url (SaveURL.py fromurl_id = the dequeued URL row).
     ``tasks_dim``: (task_id, scheme, site, landing_origin, budget) —
     small, broadcast (J3 FK hydration).
+
+    ``url_filters`` is the F6 pluggable filter-out hook (reference:
+    modules register ``Callable[[tld.Result], bool]`` predicates,
+    Module.py:23-24, applied after the F3-F5 checks and before the
+    seen check, CollectUrls.py:101-102). Each entry is a callable
+    taking the parsed-link struct Column (fields: scheme, netloc,
+    host, path, query, fragment, fld, suffix, origin, url_full, norm)
+    and returning a boolean Column; a row evaluating True (nulls count
+    as False, as in Python bool semantics) is FILTERED OUT. Being
+    Column predicates they stay JVM-side — a pluggable module costs no
+    extra Arrow pass. The simulator twin takes plain-Python
+    ``Callable[[ParsedUrl], bool]`` filters for parity testing.
 
     Returns the kernel input: parent rows (kind='parent', pos=-1) plus
     surviving link rows (kind='link') with normalized keys.
@@ -119,6 +132,8 @@ def candidate_links(
             j["link.fld"] == F.col("link_fld"),
             "left_anti",
         )
+    for filt in url_filters or []:  # F6 (CollectUrls.py:101-102)
+        j = j.filter(~F.coalesce(filt(F.col("link")), F.lit(False)))
 
     links = j.select(
         "task_id",

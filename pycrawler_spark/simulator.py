@@ -112,6 +112,7 @@ def _collect_urls(
     depth: int,
     seen: Set[str],
     cfg: CrawlConfig,
+    url_filters=None,
 ) -> Tuple[List[Tuple[str, str]], bool]:
     """CollectUrls.receive_response (CollectUrls.py:28-141) for one page.
 
@@ -144,6 +145,11 @@ def _collect_urls(
             continue
         if cfg.same_etldp1 and task.site != link.fld:           # F5
             continue
+        # F6 pluggable filter-out (CollectUrls.py:101-102): after the
+        # F3-F5 checks, BEFORE the seen check — a filtered link is
+        # never seen-added
+        if any(f(link) for f in (url_filters or [])):
+            continue
         full = urlkit.url_str_with_query_fragment(link)
         key = urlkit.seen_key(full)
         if key in seen:                                          # J1
@@ -173,6 +179,7 @@ def simulate(
     seeds: List[dict],
     cfg: CrawlConfig,
     job: str = "sim",
+    url_filters=None,
 ) -> SimResult:
     """Run the full crawl for every task, serially per task (the
     reference runs one crawler process per site, main.py:123-140;
@@ -245,7 +252,7 @@ def simulate(
                 if rep == 1:
                     links, _ = _collect_urls(
                         task, final_url if html is not None else "about:blank",
-                        html, depth, seen, cfg,
+                        html, depth, seen, cfg, url_filters,
                     )
                     n_found = len(links)
                     for full, _key in links[: max(0, task.budget)]:
