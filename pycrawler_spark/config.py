@@ -90,6 +90,16 @@ class CrawlConfig:
     salt_buckets: int = 16
     bloom_fpp: float = 0.01
     bloom_min_items: int = 1024
+    # directory-partition fan-out of the persistent seen table
+    # (sbucket = task_id mod seen_buckets); politeness sub-waves prune
+    # their seen read to the buckets of the tasks they schedule
+    seen_buckets: int = 16
+    # seen deltas skip the per-wave dedup shuffle (consumers are
+    # duplicate-idempotent), so duplicate keys accumulate between
+    # compactions. When cumulative delta rows exceed this multiple of
+    # the distinct lower bound (frontier inserts), run() compacts the
+    # seen table early to re-bound the per-wave scan. 0 disables.
+    seen_compact_ratio: float = 3.0
     # below this persistent-seen size the exact semi-join alone beats
     # building + broadcasting a bloom each wave
     bloom_auto_threshold: int = 50_000

@@ -52,7 +52,7 @@ FETCH_COLS = [
     "wave_id", "task_id", "url", "url_final", "url_norm", "host", "depth",
     "repetition", "seq", "code", "method", "content", "extracted_text",
     "meta_headers", "has_login_form", "has_cookie_banner", "redirect_chain",
-    "body_sha256",
+    "body_sha256", "resheaders",
 ]
 
 
@@ -63,14 +63,19 @@ class CrawlEngine:
         workdir: str,
         cfg: Optional[CrawlConfig] = None,
         job: str = "job1",
+        url_filters=None,
     ):
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg or CrawlConfig()
         self.job = job
+        # F6 pluggable filter-out predicates (Column-valued; see
+        # operators.links.candidate_links docstring)
+        self.url_filters = list(url_filters or [])
         self.robots: Optional[DataFrame] = None
         self.adult_sites: Optional[DataFrame] = None
         self.pages_path: Optional[str] = None
+        self._closure_df: Optional[DataFrame] = None
 
     # ----- storage helpers ------------------------------------------------
 
@@ -94,14 +99,24 @@ class CrawlEngine:
         paths = [self._dir(table, w) for w in waves if os.path.isdir(self._dir(table, w))]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # basePath anchors partition discovery for tables with
+        # directory-partitioned waves (seen: wave=N/sbucket=K/); the
+        # wave=N level surfaces as a synthetic "wave" column — drop it
+        # (wave_id is real data where it matters)
+        df = self.spark.read.option(
+            "basePath", os.path.join(self.workdir, table)
+        ).parquet(*paths)
+        if "wave" in df.columns:
+            df = df.drop("wave")
+        return df
 
     def _committed(self, m: Dict, table: str) -> List[int]:
         return [w["wave_id"] for w in m["waves"] if table in w["tables"]]
 
     def _write_pandas(self, pdf, table: str, wave: int) -> None:
-        """Driver-side parquet write for tiny tables (tasks/metrics/
-        lineage): one file, no Spark job, same directory layout."""
+        """Driver-side parquet write for genuinely-tiny tables
+        (metrics: ONE row per wave): one file, no Spark job, same
+        directory layout. Never used for task-proportional data."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -112,21 +127,61 @@ class CrawlEngine:
             os.path.join(d, "part-00000.parquet"),
         )
 
-    def _frontier_profile(self, frontier: DataFrame):
-        """(per-task max seq, per-depth insert counts) of a frontier
-        delta — one small aggregation, run once per seed ingest."""
-        rows = (
+    def _write_tasks(self, tasks: DataFrame, frontier: DataFrame, wave: int) -> Dict[str, int]:
+        """Spark-side tasks snapshot write at seed-ingest time: max_seq
+        derived by joining the frontier profile — the driver never
+        materializes anything task-proportional. Returns the per-depth
+        insert counts for the manifest (<= depth+1 rows collected)."""
+        prof = (
             frontier.filter(F.col("repetition") == 1)
-            .groupBy("task_id", "depth")
-            .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+            .groupBy("task_id")
+            .agg(F.max("seq").alias("_mx"))
+        )
+        out = (
+            tasks.join(prof, "task_id", "left")
+            .withColumn(
+                "max_seq", F.coalesce(F.col("_mx"), F.lit(0)).cast("long")
+            )
+            .drop("_mx")
+        )
+        out.coalesce(4).write.parquet(self._dir("tasks", wave))
+        per_depth_rows = (
+            frontier.filter(F.col("repetition") == 1)
+            .groupBy("depth")
+            .count()
             .collect()
         )
-        per_task: Dict[int, int] = {}
-        per_depth: Dict[str, int] = {}
-        for r in rows:
-            per_task[r.task_id] = max(per_task.get(r.task_id, 0), r.mx)
-            per_depth[str(r.depth)] = per_depth.get(str(r.depth), 0) + r.n
-        return per_task, per_depth
+        return {str(r.depth): r["count"] for r in per_depth_rows}
+
+    def _write_seen(self, seen: DataFrame, wave: int, n_files: Optional[int] = None) -> None:
+        """Every seen write is directory-partitioned by task bucket
+        (``sbucket = task_id mod seen_buckets``) so scheduler-mode
+        waves can prune the persistent-seen read to the buckets their
+        scheduled tasks live in. Salted within a bucket: a mega-task's
+        keys would otherwise land in one file."""
+        cfg = self.cfg
+        out = seen.select(
+            "task_id",
+            "url_norm",
+            F.pmod(F.col("task_id"), F.lit(cfg.seen_buckets))
+            .cast("int")
+            .alias("sbucket"),
+        )
+        if n_files == 1:
+            out = out.repartition(1)
+        else:
+            # shuffle on (sbucket, small salt): each write task then
+            # holds 1-2 bucket values, so the dynamic-partition writer
+            # opens few files (total files = seen_buckets x salt, not
+            # partitions x buckets) while a mega-task still spreads
+            # over `salt` parallel slots
+            salt = max(2, cfg.salt_buckets // 4)
+            out = out.repartition(
+                cfg.host_buckets,
+                "sbucket",
+                F.pmod(F.xxhash64("url_norm"), F.lit(salt)),
+            )
+        out.write.partitionBy("sbucket").parquet(self._dir("seen", wave))
 
     # ----- job init (S1 seed ingest, add_tasks_tranco.py:16-52) -----------
 
@@ -185,6 +240,9 @@ class CrawlEngine:
         self.pages_path = pages_path
         self.robots = robots
         self.adult_sites = adult_sites
+        if self._closure_df is not None:
+            self._closure_df.unpersist()
+            self._closure_df = None
         if os.path.isdir(self.workdir):
             shutil.rmtree(self.workdir)
         os.makedirs(self.workdir)
@@ -200,17 +258,14 @@ class CrawlEngine:
             # (seen-add first, dedup by normalized key, insertion order).
             assert self.cfg.depth >= 1, "login_seed_injection needs depth >= 1"
             frontier0, seen0 = self._login_injection(tasks, frontier0)
-            seen0.repartition(1).write.parquet(self._dir("seen", 0))
+            self._write_seen(seen0, 0, n_files=1)
             wave0_tables.append("seen")
         frontier0 = frontier0.cache()
         frontier0.repartition(self.cfg.host_buckets, "host").write.parquet(
             self._dir("frontier", 0)
         )
-        per_task_max, per_depth = self._frontier_profile(frontier0)
+        per_depth = self._write_tasks(tasks, frontier0, 0)
         frontier0.unpersist()
-        tp = tasks.toPandas()
-        tp["max_seq"] = tp["task_id"].map(per_task_max).fillna(0).astype("int64")
-        self._write_pandas(tp, "tasks", 0)
         self._save_manifest(
             {
                 "job": self.job,
@@ -317,20 +372,19 @@ class CrawlEngine:
         tables = ["tasks", "frontier"]
         if self.cfg.login_seed_injection:
             frontier_new, seen_new = self._login_injection(new_tasks, frontier_new)
-            seen_new.repartition(1).write.parquet(self._dir("seen", wave_id))
+            self._write_seen(seen_new, wave_id, n_files=1)
             tables.append("seen")
         frontier_new = frontier_new.cache()
         frontier_new.repartition(self.cfg.host_buckets, "host").write.parquet(
             self._dir("frontier", wave_id)
         )
-        per_task_max, per_depth = self._frontier_profile(frontier_new)
+        # snapshot = existing tasks (max_seq already final) + new tasks
+        # profiled against their own frontier rows — all Spark-side
+        per_depth = self._write_tasks(new_tasks, frontier_new, wave_id)
+        latest.select(
+            *self.spark.read.parquet(self._dir("tasks", wave_id)).columns
+        ).write.mode("append").parquet(self._dir("tasks", wave_id))
         frontier_new.unpersist()
-        ntp = new_tasks.toPandas()
-        ntp["max_seq"] = ntp["task_id"].map(per_task_max).fillna(0).astype("int64")
-        import pandas as _pd
-
-        merged = _pd.concat([latest.toPandas(), ntp], ignore_index=True)
-        self._write_pandas(merged, "tasks", wave_id)
         m["waves"].append(
             {"wave_id": wave_id, "depth": -1, "kind": "seeds",
              "tables": tables, "found": 0,
@@ -405,78 +459,122 @@ class CrawlEngine:
             os.replace(tmp, d)  # crash-safe commit
         return self.spark.read.parquet(d)
 
-    def _resolve_targets(self, wave: DataFrame, edges: Optional[DataFrame]) -> DataFrame:
+    def _redirect_closure(self) -> Optional[DataFrame]:
+        """Transitive closure of the redirect-edge graph: one row per
+        chain START url — (url_start, url_final, final_norm,
+        redirect_chain) — built ONCE per job by iterating the hop join
+        over the (tiny) edges table itself, then persisted and kept
+        cached. Every wave then resolves its chains with a SINGLE
+        broadcast left-join instead of max_redirects joins per wave,
+        and the normalize UDF never runs in the wave path at all
+        (final_norm is precomputed here).
+
+        After max_redirects hops the current stub is the final
+        document (the browser analog: goto returns the first document
+        of an endless refresh loop). With max_redirects <= 0 no chain
+        is ever followed — closure is None and every row resolves to
+        itself (the simulator twin resolve_chain behaves identically).
+        """
+        if self.cfg.max_redirects <= 0:
+            return None  # no chain is ever followed (ADVICE: legal config)
+        if getattr(self, "_closure_df", None) is not None:
+            return self._closure_df
+        edges = self._redirect_edges()
+        if edges is None:
+            return None
+        d = os.path.join(self.workdir, "redirect_closure")
+        if not os.path.isdir(d):
+            cfg = self.cfg
+            hop1 = edges.select(
+                F.col("url_final").alias("url_start"),
+                F.col("target").alias("url_final"),
+                F.array(
+                    F.struct(
+                        F.col("url_final").alias("url"),
+                        F.lit(200).alias("code"),
+                        F.col("target").alias("location"),
+                    )
+                ).alias("redirect_chain"),
+            )
+
+            def step(moving: DataFrame) -> DataFrame:
+                # extend still-moving chains by one hop; rows whose
+                # head is not a stub stay as-is (left join)
+                j = moving.join(edges, "url_final", "left")
+                return j.select(
+                    "url_start",
+                    F.coalesce(F.col("target"), F.col("url_final")).alias(
+                        "url_final"
+                    ),
+                    F.when(
+                        F.col("target").isNotNull(),
+                        F.concat(
+                            "redirect_chain",
+                            F.array(
+                                F.struct(
+                                    F.col("url_final").alias("url"),
+                                    F.lit(200).alias("code"),
+                                    F.col("target").alias("location"),
+                                )
+                            ),
+                        ),
+                    ).otherwise(F.col("redirect_chain")).alias("redirect_chain"),
+                )
+
+            closure = hop1
+            for _ in range(cfg.max_redirects - 1):
+                closure = step(closure)
+            closure = closure.withColumn(
+                "final_norm", normalize_url_udf(F.col("url_final"))
+            )
+            tmp = d + "_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # closure is edges-sized (tiny vs the corpus); few files
+            closure.repartition(4).write.parquet(tmp)
+            os.replace(tmp, d)  # crash-safe commit
+        self._closure_df = self.spark.read.parquet(d).cache()
+        return self._closure_df
+
+    def _resolve_targets(self, wave: DataFrame, closure: Optional[DataFrame]) -> DataFrame:
         """Resolve each wave row's redirect chain BEFORE the fetch join
         (the browser follows the chain during navigation,
-        crawler.py:145-150; here the chain is known from the edges
-        table, so the fetch join runs directly on the FINAL url).
+        crawler.py:145-150; here the chain is known from the
+        precomputed closure, so the fetch join runs directly on the
+        FINAL url).
 
         Adds: url_final (chain end), final_norm (its normalized form —
         the self-seen key, CollectUrls.py:46-49 adds page.url, i.e. the
         post-redirect url, to seen), redirect_chain (one
         struct<url,code,location> per stub hop; code 200 because a
-        refresh stub IS a 200 document, unlike HTTP 3xx). After
-        max_redirects hops the current stub is the final document (the
-        browser analog: goto returns the first document of an endless
-        refresh loop).
+        refresh stub IS a 200 document, unlike HTTP 3xx).
 
-        Plan shape: one left join of the full (slim) wave against
-        edges, then up to max_redirects-1 left joins over only the
-        still-moving rows — all lazy, no driver probes, no corpus
-        scans; AQE collapses the joins when edges is empty/tiny. The
-        normalize UDF runs only over chained rows.
+        Plan shape: ONE broadcast left-join of the slim wave against
+        the closure — no per-wave chain walking, no UDFs (final_norm
+        rides in from the closure).
         """
-        cfg = self.cfg
-        base = (
-            wave.withColumn("url_final", F.col("url"))
-            .withColumn("final_norm", F.col("url_norm"))
-            .withColumn(
-                "redirect_chain", F.expr(f"cast(array() as {REDIRECT_T})")
-            )
-        )
-        if edges is None:
-            return base
-
-        def step(moving: DataFrame) -> DataFrame:
+        if closure is None:
             return (
-                moving.withColumn(
-                    "redirect_chain",
-                    F.concat(
-                        "redirect_chain",
-                        F.array(
-                            F.struct(
-                                F.col("url_final").alias("url"),
-                                F.lit(200).alias("code"),
-                                F.col("target").alias("location"),
-                            )
-                        ),
-                    ),
+                wave.withColumn("url_final", F.col("url"))
+                .withColumn("final_norm", F.col("url_norm"))
+                .withColumn(
+                    "redirect_chain", F.expr(f"cast(array() as {REDIRECT_T})")
                 )
-                .withColumn("url_final", F.col("target"))
-                .drop("target")
             )
-
-        j0 = base.join(edges, "url_final", "left")
-        never = j0.filter(F.col("target").isNull()).drop("target")
-        moving = j0.filter(F.col("target").isNotNull())
-        chained_parts: List[DataFrame] = []
-        for hop in range(cfg.max_redirects):
-            moving = step(moving)
-            if hop + 1 < cfg.max_redirects:
-                jn = moving.join(edges, "url_final", "left")
-                chained_parts.append(
-                    jn.filter(F.col("target").isNull()).drop("target")
-                )
-                moving = jn.filter(F.col("target").isNotNull())
-            else:
-                chained_parts.append(moving)
-        chained = chained_parts[0]
-        for p in chained_parts[1:]:
-            chained = chained.unionByName(p)
-        chained = chained.withColumn(
-            "final_norm", normalize_url_udf(F.col("url_final"))
+        c = F.broadcast(closure).alias("c")
+        return (
+            wave.join(c, wave["url"] == F.col("c.url_start"), "left")
+            .select(
+                *[wave[col] for col in wave.columns],
+                F.coalesce(F.col("c.url_final"), wave["url"]).alias("url_final"),
+                F.coalesce(F.col("c.final_norm"), wave["url_norm"]).alias(
+                    "final_norm"
+                ),
+                F.coalesce(
+                    F.col("c.redirect_chain"),
+                    F.expr(f"cast(array() as {REDIRECT_T})"),
+                ).alias("redirect_chain"),
+            )
         )
-        return never.unionByName(chained)
 
     # ----- one wave ---------------------------------------------------------
 
@@ -562,18 +660,35 @@ class CrawlEngine:
 
         # --- fetch = corpus equi-join (S4/J6; replaces crawler.py:165) ----
         # redirect chains resolve BEFORE the fetch join via the (tiny)
-        # precomputed edges table, so the join runs on the FINAL url
+        # precomputed closure table, so the join runs on the FINAL url
         # and the corpus is scanned exactly once per wave
-        edges = self._redirect_edges()
-        # localCheckpoint, not cache: the resolved wave's plan (redirect
-        # joins) feeds 5-6 jobs per wave, and each would re-analyze the
-        # full lineage; truncating it makes every downstream plan tiny.
-        # (Rows are small — wave keys only. On executor loss Spark
-        # recomputes the wave from the manifest replay, same as any
-        # interrupted wave, so the durability tradeoff is nil here.)
-        wave_r = self._resolve_targets(wave, edges).localCheckpoint(eager=True)
-        pages = self.spark.read.parquet(self.pages_path).select(
-            F.col("url").alias("url_final"), "html", "warc_ts"
+        closure = self._redirect_closure()
+        # localCheckpoint, not cache: the resolved wave feeds 5-6 jobs
+        # per wave, and each would re-analyze the full lineage;
+        # truncating it makes every downstream plan tiny. Durability
+        # caveat: localCheckpoint blocks are NOT fault-tolerant — on
+        # executor loss the job FAILS (Spark cannot recompute truncated
+        # lineage) and the wave must be re-run at the application
+        # level (the resume path replays it from the manifest, which
+        # is exactly what a driver restart does anyway). On a real
+        # cluster with frequent preemption, switch to reliable
+        # checkpointing via spark.sparkContext.setCheckpointDir.
+        # eager=False: the first consumer (the broadcast build of the
+        # wave side, or the fetch join itself) materializes it — an
+        # eager checkpoint here would be one more sequential job floor
+        wave_r = self._resolve_targets(wave, closure).localCheckpoint(eager=False)
+        pages_raw = self.spark.read.parquet(self.pages_path)
+        # K1 fidelity: the reference persists response headers per
+        # fetch (SaveURL.py:71-72 resheaders JSON). A stored-page
+        # corpus may carry them (WARC/WAT metadata) — propagate when
+        # present, null otherwise.
+        hdr_col = (
+            F.col("headers") if "headers" in pages_raw.columns
+            else F.lit(None).cast("string")
+        )
+        pages = pages_raw.select(
+            F.col("url").alias("url_final"), "html", "warc_ts",
+            hdr_col.alias("resheaders"),
         )
         # broadcast the wave side: the corpus (100 TB) must never
         # shuffle. Above the broadcast cap the join degrades to a
@@ -593,18 +708,24 @@ class CrawlEngine:
         hits = pages.join(wave_b, "url_final", "inner").select(
             "task_id", "url", "url_final", "url_norm", "final_norm",
             "host", "depth", "seq", "from_url", "redirect_chain",
+            "resheaders",
             F.sha2(F.col("html"), 256).alias("body_sha256"),
             pf_udf(F.col("html")).alias("pf"),
             *(["html"] if cfg.collect_requests else []),
         )
-        # cache only when a second consumer exists (candidate stage /
-        # requests); the final-depth wave reads hits exactly once
+        # checkpoint only when the candidate/requests stage re-reads
+        # hits across SEPARATE jobs. Within the single fetch-write job
+        # the misses anti-join branch does not recompute the corpus
+        # join: Spark's ReuseExchange dedups the identical scan+join
+        # subtree, and checkpointing there would only burn memory on
+        # materialized extracted_text rows. EAGER on purpose: the
+        # fetch write and the link chain then fork CONCURRENTLY from
+        # finished blocks — lazy here would make two driver threads
+        # race to materialize the same partitions (correct but noisy:
+        # the loser's accumulator updates land on a cleaned-up job).
         cache_hits = collect_links or cfg.collect_requests
         if cache_hits:
-            # lineage-truncating persist (see wave_r note above): the
-            # candidate/kernel jobs would otherwise re-analyze the
-            # fetch join + UDF plan on every action
-            hits = hits.localCheckpoint(eager=False)
+            hits = hits.localCheckpoint(eager=True)
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
         misses = wave_r.join(
@@ -631,6 +752,7 @@ class CrawlEngine:
             F.col("pf.has_cookie_banner").alias("has_cookie_banner"),
             "redirect_chain",
             "body_sha256",
+            "resheaders",
         )
         miss_rows = misses.select(
             F.lit(wave_id).alias("wave_id"),
@@ -650,6 +772,7 @@ class CrawlEngine:
             F.lit(None).cast("boolean").alias("has_cookie_banner"),
             "redirect_chain",
             F.lit(None).cast("string").alias("body_sha256"),
+            F.lit(None).cast("string").alias("resheaders"),
         )
         fetch_rows = hit_rows.unionByName(miss_rows)
         if blocked is not None and n_blocked:
@@ -666,6 +789,7 @@ class CrawlEngine:
                 F.lit(None).cast("boolean").alias("has_cookie_banner"),
                 F.expr(f"cast(null as {REDIRECT_T})").alias("redirect_chain"),
                 F.lit(None).cast("string").alias("body_sha256"),
+                F.lit(None).cast("string").alias("resheaders"),
             )
             fetch_rows = fetch_rows.unionByName(blocked_rows)
         # O3 repetitions: each scheduled URL is revisited k times
@@ -677,27 +801,60 @@ class CrawlEngine:
         fetch_rows = fetch_rows.withColumn("repetition", rep_col).select(
             *FETCH_COLS
         )
-        fetch_rows.write.parquet(self._dir("fetches", wave_id))
-        trace("fetches written")
+        # hit count observed ON the write job — no read-back job, no
+        # recomputation of the fetch join
+        from pyspark.sql import Observation
 
-        # --- link discovery (M1 CollectUrls) -------------------------------
+        obs_f = Observation()
+        fetch_rows = fetch_rows.observe(
+            obs_f,
+            F.sum(
+                F.when(
+                    (F.col("code") == 200) & (F.col("repetition") == 1), 1
+                ).otherwise(0)
+            ).alias("n_ok"),
+        )
+
+        # --- concurrent wave jobs -----------------------------------------
+        # Independent writes are SUBMITTED CONCURRENTLY (Spark's
+        # scheduler interleaves jobs from multiple driver threads at
+        # task granularity): phase 1 runs the fetch write beside the
+        # link-discovery chain — they share the lazily-checkpointed
+        # `hits` (block-level locks make concurrent materialization
+        # compute-or-wait, never compute-twice) and alternate between
+        # Python-UDF-heavy and JVM-shuffle-heavy stages, so each fills
+        # the other's idle slots; phase 2 overlaps the three small
+        # bookkeeping writes (seen / tasks / lineage), which otherwise
+        # pay three sequential per-job floors (~0.2-0.5 s each — pure
+        # wave overhead that does not shrink with cores).
+        import concurrent.futures as _cf
+
+        def _job_fetches() -> int:
+            fetch_rows.write.parquet(self._dir("fetches", wave_id))
+            return int(obs_f.get["n_ok"] or 0)
+
         n_found = n_inserted = 0
         wrote: List[str] = ["fetches", "metrics"]
 
-        # M3 CollectRequests (+ M6 InstrumentMedia) per wave
-        if cfg.collect_requests:
+        def _job_requests() -> None:
+            # M3 CollectRequests (+ M6 InstrumentMedia) per wave;
+            # sub-resources belong to the RENDERED document -> final url
             from pycrawler_spark.operators.requests import (
                 derive_requests,
                 instrument_media,
             )
 
-            # sub-resources belong to the RENDERED document -> final url
             reqs = derive_requests(hits.withColumn("url", F.col("url_final")))
             if cfg.instrument_media:
                 reqs = instrument_media(reqs)
             reqs.withColumn("wave_id", F.lit(wave_id)).write.parquet(
                 self._dir("requests", wave_id)
             )
+
+        pool = _cf.ThreadPoolExecutor(max_workers=4)
+        fut_fetch = pool.submit(_job_fetches)
+        fut_requests = pool.submit(_job_requests) if cfg.collect_requests else None
+        if cfg.collect_requests:
             wrote.append("requests")
         if depth < cfg.depth and cfg.recursive:
             tasks_dim = self._read("tasks", [max(self._committed(m, "tasks"))])
@@ -707,11 +864,31 @@ class CrawlEngine:
             # would recompute three times per wave.
             cands = candidate_links(
                 hits.withColumn("hrefs", F.col("pf.hrefs")),
-                tasks_dim, cfg, self.adult_sites,
+                tasks_dim, cfg, self.adult_sites, self.url_filters,
             ).cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
+            elif use_scheduler and "sbucket" in seen_all.columns:
+                # politeness sub-waves touch a subset of tasks: prune
+                # the persistent seen read to the task buckets present
+                # in THIS wave (directory-partition pruning — the scan
+                # never lists, reads or hashes the other buckets), then
+                # bloom, then exact semi-join. In atomic-depth mode
+                # every task is in every wave, so pruning is a no-op
+                # and the bucket probe job is skipped.
+                bks = [
+                    r[0]
+                    for r in wave.select(
+                        F.pmod(F.col("task_id"), F.lit(cfg.seen_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if len(bks) < cfg.seen_buckets:
+                    seen_all = seen_all.filter(F.col("sbucket").isin(bks))
             # bloom prefilter pays off once the persistent seen table
             # dwarfs the wave; below the threshold the exact semi-join
             # alone is cheaper (2 fewer jobs per wave)
@@ -764,73 +941,109 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
             ).write.parquet(self._dir("frontier", wave_id))
             trace("frontier written")
-            # per-wave seen delta: wave-internal distinct only. Replays
-            # of keys already in older deltas are harmless — every
-            # consumer (bloom build, semi-join, kernel set) is
-            # idempotent on duplicates — so no cross-history anti-join.
-            # no distinct: the kernel already emits each (task, norm)
-            # once per wave except redirected parents sharing a final
-            # url — every consumer (bloom, semi-join, kernel set) is
-            # duplicate-idempotent, and the distinct was a full shuffle
-            seen_delta = kout.select("task_id", "url_norm")
-            # salted like the frontier: a mega-task's seen keys would
-            # otherwise land in one partition
-            seen_delta.repartition(
-                cfg.host_buckets,
-                "task_id",
-                F.pmod(F.xxhash64("url_norm"), F.lit(cfg.salt_buckets)),
-            ).write.parquet(self._dir("seen", wave_id))
-            trace("seen written")
-            # budgets + wave counters in ONE small job on the cached
-            # kernel output; the per-task merge happens driver-side
-            # (tasks_dim is tiny — reference holds one row per site)
-            agg = (
-                kout.groupBy("task_id")
-                .agg(
-                    F.sum(F.when(F.col("kind") == "link", 1).otherwise(0)).alias("n_found"),
-                    F.sum(F.when(F.col("inserted"), 1).otherwise(0)).alias("n_ins"),
+            # phase 2a (overlapped): seen delta + tasks snapshot — both
+            # read the materialized kernel checkpoint, independent of
+            # each other and of the fetch write.
+            # seen: wave-internal distinct only. Replays of keys
+            # already in older deltas are harmless — every consumer
+            # (bloom build, semi-join, kernel set) is idempotent on
+            # duplicates — so no cross-history anti-join and no
+            # distinct (it was a full shuffle). Directory-partitioned
+            # by task bucket (see _write_seen) for pruned reads.
+            fut_seen = pool.submit(
+                self._write_seen, kout.select("task_id", "url_norm"), wave_id
+            )
+
+            def _job_tasks():
+                # budgets + max_seq: ONE Spark job over (tasks snapshot
+                # x kernel agg), wave counters observed on the same
+                # write — nothing task-proportional ever reaches the
+                # driver (a 10^7-site crawl keeps a 10^7-row tasks
+                # table distributed)
+                from pyspark.sql import Observation as _Obs
+
+                agg = kout.groupBy("task_id").agg(
+                    F.sum(
+                        F.when(F.col("kind") == "link", 1).otherwise(0)
+                    ).alias("n_found"),
+                    F.sum(F.when(F.col("inserted"), 1).otherwise(0)).alias(
+                        "n_ins"
+                    ),
                 )
-                .toPandas()
+                obs_t = _Obs()
+                jt = tasks_dim.join(agg, "task_id", "left").observe(
+                    obs_t,
+                    F.sum(F.coalesce(F.col("n_found"), F.lit(0))).alias("found"),
+                    F.sum(F.coalesce(F.col("n_ins"), F.lit(0))).alias("ins"),
+                )
+                jt.select(
+                    *[c for c in tasks_dim.columns
+                      if c not in ("budget", "max_seq")],
+                    F.greatest(
+                        F.col("budget") - F.coalesce(F.col("n_found"), F.lit(0)),
+                        F.lit(0),
+                    ).cast("int").alias("budget"),
+                    (F.col("max_seq") + F.coalesce(F.col("n_ins"), F.lit(0)))
+                    .cast("long")
+                    .alias("max_seq"),
+                ).coalesce(4).write.parquet(self._dir("tasks", wave_id))
+                got = obs_t.get
+                return int(got["found"] or 0), int(got["ins"] or 0)
+
+            fut_tasks = pool.submit(_job_tasks)
+            wrote += ["frontier", "seen", "tasks"]
+        else:
+            fut_seen = fut_tasks = None
+
+        # phase-1 barrier: fetches (and requests) on disk
+        n_hits = fut_fetch.result()
+        if fut_requests is not None:
+            fut_requests.result()
+        trace("fetches written")
+
+        # phase 2b: per-partition (host) lineage — which host-bucket
+        # produced what in this wave (resumable audit trail, north
+        # rule). A Spark job over the freshly written fetch wave's slim
+        # columns (columnar read, html never touched): at 10^7 hosts
+        # per wave this table must never pass through the driver.
+        def _job_lineage():
+            from pycrawler_spark.functions.udfs import host_bucket
+
+            fdf = self.spark.read.parquet(self._dir("fetches", wave_id))
+            (
+                fdf.filter(F.col("repetition") == 1)
+                .groupBy(
+                    host_bucket(F.col("host"), cfg.host_buckets).alias("bucket"),
+                    "host",
+                )
+                .agg(
+                    F.count("*").alias("n_scheduled"),
+                    F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias(
+                        "n_ok"
+                    ),
+                    F.min("seq").alias("seq_lo"),
+                    F.max("seq").alias("seq_hi"),
+                )
+                .withColumn("wave_id", F.lit(wave_id))
+                .withColumn("depth", F.lit(depth))
+                .coalesce(4)
+                .write.parquet(self._dir("lineage", wave_id))
             )
-            n_found = int(agg["n_found"].sum())
-            n_inserted = int(agg["n_ins"].sum())
-            tp = tasks_dim.toPandas()
-            tp = tp.merge(agg, on="task_id", how="left")
-            tp["budget"] = (
-                (tp["budget"] - tp["n_found"].fillna(0)).clip(lower=0).astype("int32")
-            )
-            tp["max_seq"] = (
-                tp["max_seq"] + tp["n_ins"].fillna(0)
-            ).astype("int64")
-            tp = tp.drop(columns=["n_found", "n_ins"])
-            self._write_pandas(tp, "tasks", wave_id)
+
+        fut_lin = pool.submit(_job_lineage) if cfg.lineage else None
+        if fut_seen is not None:
+            fut_seen.result()
+            trace("seen written")
+        if fut_tasks is not None:
+            n_found, n_inserted = fut_tasks.result()
             trace("tasks written")
             kout.unpersist()
             cands.unpersist()
-            wrote += ["frontier", "seen", "tasks"]
-
-        # one small read-back agg over the freshly written fetch wave
-        # yields BOTH the per-host lineage rows and the hit count —
-        # no recomputation of the fetch join
-        from pycrawler_spark.functions.udfs import host_bucket
-
-        fdf = self.spark.read.parquet(self._dir("fetches", wave_id))
-        lin_rows = (
-            fdf.filter(F.col("repetition") == 1)
-            .groupBy(
-                host_bucket(F.col("host"), cfg.host_buckets).alias("bucket"),
-                "host",
-            )
-            .agg(
-                F.count("*").alias("n_scheduled"),
-                F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias("n_ok"),
-                F.min("seq").alias("seq_lo"),
-                F.max("seq").alias("seq_hi"),
-            )
-            .collect()
-        )
-        n_hits = sum(r.n_ok for r in lin_rows)
-        trace("hits count")
+        if fut_lin is not None:
+            fut_lin.result()
+            wrote.append("lineage")
+            trace("lineage written")
+        pool.shutdown(wait=True)
         wall = time.monotonic() - t0
         stats = {
             "wave_id": wave_id,
@@ -850,21 +1063,6 @@ class CrawlEngine:
         self._write_pandas(_pd.DataFrame([stats]), "metrics", wave_id)
         trace("metrics written")
 
-        # per-partition (host) lineage: which host-bucket produced what
-        # in this wave — resumable audit trail (north rule); rows were
-        # already aggregated above
-        if cfg.lineage:
-            lp = _pd.DataFrame(
-                [r.asDict() for r in lin_rows],
-                columns=["bucket", "host", "n_scheduled", "n_ok",
-                         "seq_lo", "seq_hi"],
-            )
-            lp["wave_id"] = wave_id
-            lp["depth"] = depth
-            self._write_pandas(lp, "lineage", wave_id)
-            trace("lineage written")
-            wrote.append("lineage")
-
         if cache_hits:
             hits.unpersist()
         wave_r.unpersist()
@@ -876,11 +1074,42 @@ class CrawlEngine:
         m["waves"].append(
             {"wave_id": wave_id, "depth": depth, "kind": "fetch",
              "tables": wrote, "found": n_found,
-             "insert_depth": depth + 1, "n_inserted": n_inserted}
+             "insert_depth": depth + 1, "n_inserted": n_inserted,
+             # delta rows appended to seen this wave (links + parent
+             # self-seen rows) — feeds the duplicate-ratio compaction
+             # heuristic in run()
+             "seen_rows": (n_found + n_hits) if "seen" in wrote else 0}
         )
         m["next_wave"] = wave_id + 1
         self._save_manifest(m)
+        self._maybe_compact_seen(m)
         return stats
+
+    def _maybe_compact_seen(self, m: Dict) -> None:
+        """Seen deltas skip the dedup shuffle, so duplicate keys
+        (redirected parents sharing a final url, re-sightings across
+        waves) accumulate and inflate every later wave's seen scan +
+        bloom build. When cumulative delta rows exceed
+        ``seen_compact_ratio`` x the distinct lower bound (frontier
+        inserts — each inserted exactly once), compact just the seen
+        table to re-bound the growth between full compactions."""
+        ratio = self.cfg.seen_compact_ratio
+        if not ratio:
+            return
+        waves = [w for w in m["waves"] if "seen" in w.get("tables", [])]
+        if len(waves) <= 1:
+            return
+        rows = sum(w.get("seen_rows", 0) for w in m["waves"])
+        distinct_lb = sum(w.get("n_inserted", 0) for w in m["waves"])
+        if rows > ratio * max(1, distinct_lb):
+            out = self.compact(tables=("seen",))
+            # reset the counter to the actual post-compaction row count
+            # so the heuristic measures growth SINCE this compaction
+            m2 = self._load_manifest()
+            for w in m2["waves"]:
+                w["seen_rows"] = 0
+            m2["waves"][0]["seen_rows"] = out.get("seen", 0)
+            self._save_manifest(m2)
 
     # ----- full run -----------------------------------------------------------
 
@@ -936,13 +1165,16 @@ class CrawlEngine:
             salt_col = "url_norm" if "url_norm" in df.columns else (
                 "url" if "url" in df.columns else key
             )
-            (
-                df.repartition(
-                    self.cfg.host_buckets,
-                    F.col(key),
-                    F.pmod(F.xxhash64(salt_col), F.lit(self.cfg.salt_buckets)),
-                ).write.mode("overwrite").parquet(tmp)
-            )
+            writer = df.repartition(
+                self.cfg.host_buckets,
+                F.col(key),
+                F.pmod(F.xxhash64(salt_col), F.lit(self.cfg.salt_buckets)),
+            ).write.mode("overwrite")
+            if "sbucket" in df.columns:
+                # seen: keep the directory-partitioned layout so the
+                # pruned read path survives compaction
+                writer = writer.partitionBy("sbucket")
+            writer.parquet(tmp)
             n = self.spark.read.parquet(tmp).count()
             out[table] = n
             # commit: swap dirs, then rewrite manifest table pointers

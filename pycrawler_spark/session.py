@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets SHUFFLE BYTES, but this engine's
+        # post-shuffle stages are CPU-bound pandas kernels over highly
+        # compressible url/text rows (~few MB shuffled for ~10 s of
+        # Python work): the 1 MB default collapsed the dedup kernel to
+        # 3 tasks. 64 KB keeps coalescing for truly-empty partitions
+        # while preserving kernel parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

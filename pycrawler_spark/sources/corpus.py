@@ -217,10 +217,27 @@ def generate_corpus(
     per-page out-degree of same-host links (bench uses high values to
     create wide fetch waves).
     """
+    import json as _json
+
     rng = random.Random(seed)
     hosts = [host_name(i) for i in range(n_hosts)]
     pages: List[Dict] = []
     ts = BASE_TS
+
+    def _headers(host: str, j: int, n_bytes: int) -> str:
+        """Deterministic synthetic response headers (JSON string — the
+        shape the reference persists per fetch, SaveURL.py:71-72; real
+        corpora carry these in WARC/WAT metadata)."""
+        return _json.dumps(
+            {
+                "content-type": "text/html; charset=utf-8",
+                "server": ["nginx", "apache", "caddy"][j % 3],
+                "content-length": str(n_bytes),
+                "x-host": host,
+            },
+            separators=(",", ":"),
+        )
+
     for i, host in enumerate(hosts):
         n_pages = pages_per_host * (mega_factor if i == 0 else 1)
         lang = "de" if i % 3 == 2 else "en"
@@ -233,6 +250,7 @@ def generate_corpus(
                     "html": html,
                     "text": text,
                     "lang": lang,
+                    "headers": _headers(host, j, len(html)),
                 }
             )
             ts += timedelta(seconds=1)
@@ -315,6 +333,9 @@ def write_corpus(
                 ("html", pa.binary()),
                 ("text", pa.string()),
                 ("lang", pa.string()),
+                # nullable: redirect stubs / robots pages carry none —
+                # the engine propagates whatever the corpus provides
+                ("headers", pa.string()),
             ]
         ),
     )
