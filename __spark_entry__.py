@@ -1127,6 +1127,45 @@ def _o39():
     """
 
 
+def _q40_lsh_blocked_cosine(spark, sf):
+    """The 100 TB embedding near-dup path: LSH-bucket-blocked cosine
+    pairs (equi-join on an 8-bit hyperplane-sign bucket with 1-bit
+    multi-probe, exact cosine only on candidates) — vs q39's exact
+    O(n^2) twin. The oracle replicates the LSH itself: the seeded
+    hyperplanes are inlined as SQL constants, so bucket assignment,
+    probe expansion, and the candidate join are all value-checked."""
+    from pycrawler_spark.operators.similarity import lsh_blocked_cosine_pairs
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_blocked_cosine_pairs(e, 0.35, dim=dim, bits=8, n_flip=1)
+
+
+def _o40(dim: int = 64, bits: int = 8) -> str:
+    from pycrawler_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits)  # same seed/construction as Spark
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[b])}]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    probes = ", ".join(str(p) for p in [0] + [1 << i for i in range(bits)])
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({bucket_expr}) AS bucket
+      FROM embeddings
+    ), r AS (
+      SELECT b.vec_id AS id_b, b.v AS vb, xor(b.bucket, p.p) AS bucket
+      FROM b, (SELECT unnest([{probes}]) AS p) p
+    )
+    SELECT a.vec_id AS id_a, r.id_b,
+           round(list_cosine_similarity(a.v, r.vb), 6) AS cos
+    FROM b a JOIN r ON a.bucket = r.bucket AND a.vec_id < r.id_b
+    WHERE round(list_cosine_similarity(a.v, r.vb), 6) >= 0.35
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1240,6 +1279,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_percentiles": _q37_percentiles,
     "q38_training_data_filter": _q38_training_data_filter,
     "q39_cosine_dup_pairs": _q39_cosine_dup_pairs,
+    "q40_lsh_blocked_cosine": _q40_lsh_blocked_cosine,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "crawl_depth_counts": _q_crawl_depth_counts,
@@ -1285,6 +1325,7 @@ _ORACLES: dict[str, str] = {
     "q37_percentiles": _o37(),
     "q38_training_data_filter": _o38(),
     "q39_cosine_dup_pairs": _o39(),
+    "q40_lsh_blocked_cosine": _o40(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead
