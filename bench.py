@@ -38,9 +38,14 @@ SCALE_4N = SCALE_N * 4
 BEST_OF = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
 
 # bench corpus: wide fan-out so the depth-2 wave is big enough for
-# compute to dominate fixed wave overheads (~169k URLs scheduled in
-# the final wave: 24 hosts x 84^2)
-CORPUS = dict(seed=42, n_hosts=24, pages_per_host=7300, mega_factor=2,
+# compute to dominate fixed wave overheads (~339k URLs scheduled in
+# the final wave: 48 hosts x 84^2). Sized so the steady wave carries
+# >=1 min of 2-core work: a production wave is 10^7-10^9 URLs, so a
+# too-small test wave overweights the fixed per-wave driver floor
+# (~2 s) by orders of magnitude and misreports scaling. 48 hosts also
+# gives the per-task kernel 48 groups — enough scheduling granularity
+# that 8 cores aren't quantized to 3 rounds of 24.
+CORPUS = dict(seed=42, n_hosts=48, pages_per_host=7300, mega_factor=2,
               branching=84)
 CRAWL_DEPTH = 2
 MAX_URLS = 100_000

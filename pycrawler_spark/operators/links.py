@@ -32,12 +32,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from pycrawler_spark.config import CrawlConfig
 from pycrawler_spark.functions.udfs import (
+    det_shuffle_key,
     extract_hrefs_udf,
     resolve_href_udf,
 )
 
 CANDIDATE_COLS = [
-    "task_id", "kind", "parent_seq", "pos", "url", "url_norm", "host", "budget",
+    "task_id", "kind", "parent_seq", "pos", "url", "url_norm", "host",
+    "skey", "budget",
 ]
 
 KERNEL_SCHEMA = T.StructType(
@@ -99,6 +101,7 @@ def candidate_links(
         F.col("url"),
         final_norm.alias("url_norm"),
         F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("string").alias("skey"),
     )
 
     # hrefs were already extracted in the wave's fused per-page UDF
@@ -143,6 +146,9 @@ def candidate_links(
         F.col("link.url_full").alias("url"),
         F.col("link.norm").alias("url_norm"),
         F.col("link.host").alias("host"),
+        # O5 shuffle key computed HERE, JVM-side (md5 builtin) — the
+        # per-task kernel sorts on it but must never hash in Python
+        det_shuffle_key(F.col("link.url_full"), cfg.shuffle_seed).alias("skey"),
     )
     budgets = tasks_dim.select("task_id", "budget")
     return (
@@ -171,6 +177,7 @@ def dedup_budget_kernel(
     first_and_last = cfg.first_and_last
 
     def kernel(key, cand: pd.DataFrame, seen_pdf: pd.DataFrame) -> pd.DataFrame:
+        has_skey = "skey" in cand.columns
         task_id = int(key[0])
         seen = set(seen_pdf["url_norm"]) if len(seen_pdf) else set()
         out: List[tuple] = []
@@ -190,12 +197,17 @@ def dedup_budget_kernel(
             seen.add(parent_norm)
             out.append((task_id, "self", parent_url, parent_norm, None,
                         None, 0, False))
-            found: List[tuple] = []  # (url, norm, host, pos)
+            found: List[tuple] = []  # (url, norm, host, pos, skey)
             for row in grp.iloc[1:].itertuples(index=False):
                 if row.url_norm in seen:
                     continue
                 seen.add(row.url_norm)
-                found.append((row.url, row.url_norm, row.host, row.pos))
+                found.append((
+                    row.url, row.url_norm, row.host, row.pos,
+                    # precomputed JVM-side in candidate_links; the
+                    # hashlib fallback only serves hand-built frames
+                    row.skey if has_skey else _shuffle_key(seed, row.url),
+                ))
             n = len(found)
             if first_and_last:  # O5 (CollectUrls.py:119-124)
                 head, tail = int(n * 0.15), int(n * 0.85)
@@ -204,10 +216,10 @@ def dedup_budget_kernel(
                 grp_of = lambda i: 0
             order = sorted(
                 range(n),
-                key=lambda i: (grp_of(i), _shuffle_key(seed, found[i][0]), found[i][3]),
+                key=lambda i: (grp_of(i), found[i][4], found[i][3]),
             )
             for out_pos, i in enumerate(order):
-                url, norm, host, _ = found[i]
+                url, norm, host = found[i][0], found[i][1], found[i][2]
                 ins = out_pos < max(0, budget)
                 if ins:
                     rank += 1

@@ -134,11 +134,23 @@ def relevant_seen(
     candidates: DataFrame,
     key_col: str = "url_norm",
     use_bloom: bool = True,
+    use_semi: bool = True,
     fpp: float = 0.01,
 ) -> DataFrame:
     """seen ∩ candidate-keys: the only seen rows the per-task dedup
     kernel needs. Bloom prefilter first (wave-sized), exact semi-join
-    second (false positives eliminated here — parity preserved)."""
+    second (false positives eliminated here — parity preserved).
+
+    ``use_semi=False`` skips the candidate-key distinct + semi-join and
+    passes seen through whole. The semi-join exists to bound what the
+    cogroup ships into pandas when the seen HISTORY dwarfs the wave
+    (steady state of a long crawl); while history is still wave-sized
+    or smaller, the distinct is a full wave-sized shuffle spent to
+    avoid shipping a few thousand rows — strictly a loss. The kernel
+    is exact either way (it takes per-task seen rows as set-init), so
+    this is a pure plan choice, never a semantics one."""
+    if not use_semi:
+        return seen
     keys = candidates.select(key_col).distinct()
     if use_bloom:
         n = keys.count()

@@ -663,6 +663,7 @@ class CrawlEngine:
         # precomputed closure table, so the join runs on the FINAL url
         # and the corpus is scanned exactly once per wave
         closure = self._redirect_closure()
+        trace("closure ready")
         # localCheckpoint, not cache: the resolved wave feeds 5-6 jobs
         # per wave, and each would re-analyze the full lineage;
         # truncating it makes every downstream plan tiny. Durability
@@ -677,6 +678,7 @@ class CrawlEngine:
         # wave side, or the fetch join itself) materializes it — an
         # eager checkpoint here would be one more sequential job floor
         wave_r = self._resolve_targets(wave, closure).localCheckpoint(eager=False)
+        trace("wave resolved (lazy ckpt)")
         pages_raw = self.spark.read.parquet(self.pages_path)
         # K1 fidelity: the reference persists response headers per
         # fetch (SaveURL.py:71-72 resheaders JSON). A stored-page
@@ -725,7 +727,9 @@ class CrawlEngine:
         # the loser's accumulator updates land on a cleaned-up job).
         cache_hits = collect_links or cfg.collect_requests
         if cache_hits:
+            trace("hits defined")
             hits = hits.localCheckpoint(eager=True)
+            trace("hits checkpointed")
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
         misses = wave_r.join(
@@ -858,14 +862,31 @@ class CrawlEngine:
             wrote.append("requests")
         if depth < cfg.depth and cfg.recursive:
             tasks_dim = self._read("tasks", [max(self._committed(m, "tasks"))])
-            # cache: the candidate pipeline (href extraction + urljoin +
-            # PSL parse pandas UDFs) feeds the bloom build, the seen
-            # semi-join AND the dedup kernel — without the cache it
-            # would recompute three times per wave.
+            # seen-history plan choice (see relevant_seen): while the
+            # accumulated history is smaller than ~a wave's worth of
+            # candidates, the candidate-key distinct + semi-join is a
+            # full wave-sized shuffle spent to avoid shipping a few
+            # thousand rows into the cogroup — skip it. last_found
+            # approximates this wave's candidate count (the previous
+            # wave's discoveries ARE this wave's parents).
+            seen_estimate = sum(w.get("found", 0) for w in m["waves"])
+            last_found = next(
+                (w["found"] for w in reversed(m["waves"])
+                 if w.get("kind") == "fetch" and w.get("found", 0) > 0),
+                0,
+            )
+            use_semi = seen_estimate > 4 * max(1, last_found)
             cands = candidate_links(
                 hits.withColumn("hrefs", F.col("pf.hrefs")),
                 tasks_dim, cfg, self.adult_sites, self.url_filters,
-            ).cache()
+            )
+            if use_semi or trace_on:
+                # cache: with the semi-join (and possibly bloom) on,
+                # the candidate pipeline (urljoin + PSL parse pandas
+                # UDFs) has 2-3 consumers; with them off the kernel
+                # cogroup is the ONLY consumer and a cache write of the
+                # wave's biggest intermediate would be pure overhead
+                cands = cands.cache()
             seen_all = self._read("seen", self._committed(m, "seen"))
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
@@ -892,11 +913,11 @@ class CrawlEngine:
             # bloom prefilter pays off once the persistent seen table
             # dwarfs the wave; below the threshold the exact semi-join
             # alone is cheaper (2 fewer jobs per wave)
-            seen_estimate = sum(w.get("found", 0) for w in m["waves"])
             seen_rel = relevant_seen(
                 seen_all,
                 cands,
                 use_bloom=seen_estimate > cfg.bloom_auto_threshold,
+                use_semi=use_semi,
                 fpp=cfg.bloom_fpp,
             )
             trace("seen_rel defined")

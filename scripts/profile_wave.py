@@ -1,0 +1,54 @@
+"""Per-phase wave profiling: runs the bench crawl corpus at a given
+core count with PYCRAWLER_TRACE on and console progress bars off, so
+every trace line survives. Usage:
+
+    taskset -c 0-{N-1} python scripts/profile_wave.py N
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ["PYCRAWLER_TRACE"] = "1"
+
+import bench  # noqa: E402
+from pycrawler_spark.config import CrawlConfig  # noqa: E402
+from pycrawler_spark.plans.crawl import CrawlEngine  # noqa: E402
+from pycrawler_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cdir = bench.corpus_dir()
+    spark = get_spark(
+        app_name=f"profile-crawl-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(8, cores * 2),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    work = tempfile.mkdtemp(prefix=f"profile_crawl_{cores}_")
+    cfg = CrawlConfig(depth=bench.CRAWL_DEPTH, max_urls=bench.MAX_URLS)
+    eng = CrawlEngine(spark, os.path.join(work, "job"), cfg, job="profile")
+    eng.init_job(
+        spark.read.parquet(os.path.join(cdir, "seeds.parquet")),
+        os.path.join(cdir, "pages.parquet"),
+    )
+    t0 = time.monotonic()
+    stats = eng.run()
+    print(f"TOTAL {time.monotonic() - t0:.2f}s cores={cores}")
+    for s in stats:
+        print(s)
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
