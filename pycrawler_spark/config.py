@@ -85,6 +85,14 @@ class CrawlConfig:
     host_buckets: int = 32          # hash-partition count for host-keyed state
     broadcast_wave_max_rows: int = 2_000_000  # broadcast fetch-wave side of the
                                     # corpus join below this size, else shuffle
+    # waves smaller than this get a round-robin repartition of the
+    # JOINED rows before the extraction UDF: a small wave's matched
+    # pages land unevenly on the corpus scan's partitions and the
+    # Python-heavy stage straggles (measured: ~30% idle tail at 8
+    # cores). The shuffle moves only wave-matched html (wave-sized,
+    # never corpus-sized); big waves have law-of-large-numbers balance
+    # across thousands of scan partitions and skip the extra exchange.
+    udf_balance_max_rows: int = 200_000
     hot_host_threshold: int = 100_000  # candidates per host above which the
                                     # link pipeline salts the host key
     salt_buckets: int = 16

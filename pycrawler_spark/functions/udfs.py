@@ -171,6 +171,73 @@ def _pf_frame(html: pd.Series, with_hrefs: bool) -> pd.DataFrame:
         }
     )
 
+PAGE_FEATURES_LINKS_STRUCT = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("meta_headers", T.ArrayType(T.StringType())),
+        T.StructField("has_login_form", T.BooleanType()),
+        T.StructField("has_cookie_banner", T.BooleanType()),
+        T.StructField("links", T.ArrayType(RESOLVED_LINK_STRUCT)),
+    ]
+)
+
+_NULL_LINK = (None,) * len(_RESOLVED_FIELDS)
+
+
+@pandas_udf(PAGE_FEATURES_LINKS_STRUCT)
+def page_features_resolve_udf(
+    html: pd.Series, base_urls: pd.Series
+) -> pd.DataFrame:
+    """page_features + href resolution fused into ONE Python pass.
+
+    The split pipeline (page_features -> ship hrefs to JVM -> explode
+    -> resolve_href_udf) pays a second Arrow round-trip over the
+    wave's biggest intermediate (every discovered link) plus a second
+    Python stage spin-up; here the hrefs never leave Python unresolved
+    — the page's base URL is parsed once and every href resolves in
+    the same batch that extracted it. The JVM side then only explodes
+    already-resolved structs.
+
+    Parity invariant: entry i of ``links`` corresponds to href i in
+    document order (F1, modules/CollectUrls.py:60-77) — unresolvable
+    hrefs yield an all-null struct rather than being dropped, so
+    ``posexplode`` downstream assigns the SAME pos numbering as the
+    unfused path (which filters after explode) and crawl-order parity
+    is preserved byte-for-byte."""
+    texts, metas, logins, cookies, linkss = [], [], [], [], []
+    for h, base in zip(html, base_urls):
+        t, m, lg, ck, hr = htmlkit.page_features(h, True)
+        texts.append(t)
+        metas.append(m)
+        logins.append(lg)
+        cookies.append(ck)
+        p = urlkit.parse_url(base) if base is not None else None
+        links = []
+        for href in hr or []:
+            r = urlkit.url_from_href(href, p) if p is not None else None
+            if r is None:
+                links.append(_NULL_LINK)
+            else:
+                full = urlkit.url_str_with_query_fragment(r)
+                links.append(
+                    (
+                        r.scheme, r.netloc, r.host, r.path, r.query,
+                        r.fragment, r.fld, r.suffix, urlkit.url_origin(r),
+                        full, urlkit.normalize_url(full),
+                    )
+                )
+        linkss.append(links)
+    return pd.DataFrame(
+        {
+            "extracted_text": texts,
+            "meta_headers": metas,
+            "has_login_form": logins,
+            "has_cookie_banner": cookies,
+            "links": linkss,
+        }
+    )
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     """F1 link extraction: a[href] values in document order

@@ -104,23 +104,34 @@ def candidate_links(
         F.lit(None).cast("string").alias("skey"),
     )
 
-    # hrefs were already extracted in the wave's fused per-page UDF
-    # pass when available; fall back to extracting here otherwise
-    hrefs_col = (
-        F.col("hrefs") if "hrefs" in hits.columns
-        else extract_hrefs_udf(F.col("html"))
-    )
-    exploded = hits.select(
-        "task_id",
-        F.col("seq").alias("parent_seq"),
-        final_url.alias("parent_url"),
-        F.posexplode(hrefs_col).alias("pos", "href"),
-    )
-    # urljoin + PSL parse + normalize fused: one Arrow pass over the
-    # exploded links (the wave's biggest intermediate)
-    parsed = exploded.withColumn(
-        "link", resolve_href_udf(F.col("parent_url"), F.col("href"))
-    ).filter(F.col("link.url_full").isNotNull())
+    if "links" in hits.columns:
+        # links arrive ALREADY RESOLVED from the wave's fused per-page
+        # UDF (page_features_resolve_udf): no second Arrow pass, the
+        # explode below is pure JVM. pos numbering matches the unfused
+        # path because unresolvable hrefs ride along as all-null
+        # structs and are filtered AFTER posexplode.
+        parsed = hits.select(
+            "task_id",
+            F.col("seq").alias("parent_seq"),
+            F.posexplode("links").alias("pos", "link"),
+        ).filter(F.col("link.url_full").isNotNull())
+    else:
+        # fallback (tests / callers without the fused pass): extract
+        # hrefs, then urljoin + PSL parse + normalize fused into one
+        # Arrow pass over the exploded links
+        hrefs_col = (
+            F.col("hrefs") if "hrefs" in hits.columns
+            else extract_hrefs_udf(F.col("html"))
+        )
+        exploded = hits.select(
+            "task_id",
+            F.col("seq").alias("parent_seq"),
+            final_url.alias("parent_url"),
+            F.posexplode(hrefs_col).alias("pos", "href"),
+        )
+        parsed = exploded.withColumn(
+            "link", resolve_href_udf(F.col("parent_url"), F.col("href"))
+        ).filter(F.col("link.url_full").isNotNull())
 
     j = parsed.join(F.broadcast(tasks_dim), "task_id")
     if cfg.same_scheme:   # F3 (CollectUrls.py:86-87)

@@ -37,7 +37,7 @@ from pycrawler_spark.config import CrawlConfig
 from pycrawler_spark.functions.udfs import (
     normalize_url_udf,
     page_features_nolinks_udf,
-    page_features_udf,
+    page_features_resolve_udf,
     parse_url_udf,
     refresh_target_udf,
 )
@@ -704,15 +704,32 @@ class CrawlEngine:
         # single html->Python pass per wave: sha + fused extraction in
         # the projection, html itself dropped from the cache (it is the
         # fat column; only collect_requests still needs it downstream).
-        # The final depth collects no links -> skip href extraction
+        # Link waves fuse href RESOLUTION into the same pass
+        # (page_features_resolve_udf): the resolved-link structs come
+        # back in one Arrow trip and the candidate pipeline's explode
+        # is pure JVM — no second Python stage over every discovered
+        # link. The final depth collects no links -> skip both.
         collect_links = depth < cfg.depth and cfg.recursive
-        pf_udf = page_features_udf if collect_links else page_features_nolinks_udf
-        hits = pages.join(wave_b, "url_final", "inner").select(
+        pf_col = (
+            page_features_resolve_udf(F.col("html"), F.col("url_final"))
+            if collect_links
+            else page_features_nolinks_udf(F.col("html"))
+        )
+        joined = pages.join(wave_b, "url_final", "inner")
+        if n_sched < cfg.udf_balance_max_rows:
+            # balance the Python-heavy extraction stage for small
+            # waves (see config.udf_balance_max_rows); the UDF sits in
+            # the projection ABOVE this exchange, so it runs on the
+            # balanced side
+            joined = joined.repartition(
+                self.spark.sparkContext.defaultParallelism * 2
+            )
+        hits = joined.select(
             "task_id", "url", "url_final", "url_norm", "final_norm",
             "host", "depth", "seq", "from_url", "redirect_chain",
             "resheaders",
             F.sha2(F.col("html"), 256).alias("body_sha256"),
-            pf_udf(F.col("html")).alias("pf"),
+            pf_col.alias("pf"),
             *(["html"] if cfg.collect_requests else []),
         )
         # checkpoint only when the candidate/requests stage re-reads
@@ -725,10 +742,25 @@ class CrawlEngine:
         # finished blocks — lazy here would make two driver threads
         # race to materialize the same partitions (correct but noisy:
         # the loser's accumulator updates land on a cleaned-up job).
+        import concurrent.futures as _cf
+
+        pool = _cf.ThreadPoolExecutor(max_workers=5)
         cache_hits = collect_links or cfg.collect_requests
+        pre_tasks_dim = pre_seen = None
         if cache_hits:
             trace("hits defined")
-            hits = hits.localCheckpoint(eager=True)
+            # the eager checkpoint is EXECUTOR work (the wave's fused
+            # extraction UDF); run it from a pool thread and spend the
+            # driver on the link stage's metadata reads (tasks/seen
+            # parquet listing + schema) meanwhile — measured ~0.7 s of
+            # driver-only time that previously idled all cores
+            fut_ck = pool.submit(hits.localCheckpoint, True)
+            if collect_links:
+                pre_tasks_dim = self._read(
+                    "tasks", [max(self._committed(m, "tasks"))]
+                )
+                pre_seen = self._read("seen", self._committed(m, "seen"))
+            hits = fut_ck.result()
             trace("hits checkpointed")
         # miss = requested url absent from corpus (chain empty) OR the
         # chain dead-ended on a target absent from corpus (chain kept)
@@ -831,8 +863,6 @@ class CrawlEngine:
         # bookkeeping writes (seen / tasks / lineage), which otherwise
         # pay three sequential per-job floors (~0.2-0.5 s each — pure
         # wave overhead that does not shrink with cores).
-        import concurrent.futures as _cf
-
         def _job_fetches() -> int:
             fetch_rows.write.parquet(self._dir("fetches", wave_id))
             return int(obs_f.get["n_ok"] or 0)
@@ -855,13 +885,16 @@ class CrawlEngine:
                 self._dir("requests", wave_id)
             )
 
-        pool = _cf.ThreadPoolExecutor(max_workers=4)
         fut_fetch = pool.submit(_job_fetches)
         fut_requests = pool.submit(_job_requests) if cfg.collect_requests else None
         if cfg.collect_requests:
             wrote.append("requests")
         if depth < cfg.depth and cfg.recursive:
-            tasks_dim = self._read("tasks", [max(self._committed(m, "tasks"))])
+            tasks_dim = (
+                pre_tasks_dim
+                if pre_tasks_dim is not None
+                else self._read("tasks", [max(self._committed(m, "tasks"))])
+            )
             # seen-history plan choice (see relevant_seen): while the
             # accumulated history is smaller than ~a wave's worth of
             # candidates, the candidate-key distinct + semi-join is a
@@ -877,7 +910,7 @@ class CrawlEngine:
             )
             use_semi = seen_estimate > 4 * max(1, last_found)
             cands = candidate_links(
-                hits.withColumn("hrefs", F.col("pf.hrefs")),
+                hits.withColumn("links", F.col("pf.links")),
                 tasks_dim, cfg, self.adult_sites, self.url_filters,
             )
             if use_semi or trace_on:
@@ -887,7 +920,11 @@ class CrawlEngine:
                 # cogroup is the ONLY consumer and a cache write of the
                 # wave's biggest intermediate would be pure overhead
                 cands = cands.cache()
-            seen_all = self._read("seen", self._committed(m, "seen"))
+            seen_all = (
+                pre_seen
+                if pre_seen is not None
+                else self._read("seen", self._committed(m, "seen"))
+            )
             if seen_all is None:
                 seen_all = empty_df(self.spark, "task_id long, url_norm string")
             elif use_scheduler and "sbucket" in seen_all.columns:
@@ -923,7 +960,13 @@ class CrawlEngine:
             trace("seen_rel defined")
             if trace_on:
                 trace(f"cands materialized ({cands.count()})")
-            kout = dedup_budget_kernel(cands, seen_rel, cfg).localCheckpoint(eager=False)
+            # EAGER: materialize the kernel output once, up front —
+            # its three consumers (frontier / seen / tasks writes) then
+            # all run CONCURRENTLY from finished blocks. Lazy here made
+            # the frontier write materialize the kernel alone while the
+            # seen + tasks writes queued behind it (~1 s of tail at 8
+            # cores).
+            kout = dedup_budget_kernel(cands, seen_rel, cfg).localCheckpoint(eager=True)
             if trace_on:
                 trace(f"kernel materialized ({kout.count()})")
 
@@ -956,15 +999,18 @@ class CrawlEngine:
             # (Iceberg: bucket(host_buckets, host) + bucket(salt) sort)
             from pycrawler_spark.functions.udfs import host_bucket
 
-            new_frontier.repartition(
-                cfg.host_buckets,
-                host_bucket(F.col("host"), cfg.host_buckets),
-                F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
-            ).write.parquet(self._dir("frontier", wave_id))
-            trace("frontier written")
-            # phase 2a (overlapped): seen delta + tasks snapshot — both
-            # read the materialized kernel checkpoint, independent of
-            # each other and of the fetch write.
+            def _job_frontier():
+                new_frontier.repartition(
+                    cfg.host_buckets,
+                    host_bucket(F.col("host"), cfg.host_buckets),
+                    F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
+                ).write.parquet(self._dir("frontier", wave_id))
+
+            fut_frontier = pool.submit(_job_frontier)
+            # phase 2a (overlapped): frontier + seen delta + tasks
+            # snapshot — all three read the eagerly-materialized kernel
+            # checkpoint, independent of each other and of the fetch
+            # write.
             # seen: wave-internal distinct only. Replays of keys
             # already in older deltas are harmless — every consumer
             # (bloom build, semi-join, kernel set) is idempotent on
@@ -1014,7 +1060,7 @@ class CrawlEngine:
             fut_tasks = pool.submit(_job_tasks)
             wrote += ["frontier", "seen", "tasks"]
         else:
-            fut_seen = fut_tasks = None
+            fut_frontier = fut_seen = fut_tasks = None
 
         # phase-1 barrier: fetches (and requests) on disk
         n_hits = fut_fetch.result()
@@ -1052,6 +1098,9 @@ class CrawlEngine:
             )
 
         fut_lin = pool.submit(_job_lineage) if cfg.lineage else None
+        if fut_frontier is not None:
+            fut_frontier.result()
+            trace("frontier written")
         if fut_seen is not None:
             fut_seen.result()
             trace("seen written")

@@ -23,8 +23,46 @@ from pycrawler_spark.plans.crawl import CrawlEngine  # noqa: E402
 from pycrawler_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_sampler(cores: int, stop, out: list) -> None:
+    """Per-second busy%% of cpus 0..cores-1 from /proc/stat."""
+    import threading  # noqa: F401
+
+    def snap():
+        vals = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    p = line.split()
+                    n = int(p[0][3:])
+                    if n < cores:
+                        idle = int(p[4]) + int(p[5])
+                        total = sum(int(x) for x in p[1:9])
+                        vals[n] = (idle, total)
+        return vals
+
+    prev = snap()
+    while not stop.wait(1.0):
+        cur = snap()
+        busy = []
+        for n in cur:
+            didle = cur[n][0] - prev[n][0]
+            dtot = cur[n][1] - prev[n][1]
+            busy.append(100 * (1 - didle / max(dtot, 1)))
+        prev = cur
+        out.append(sum(busy) / len(busy))
+        print(f"[cpu] {out[-1]:.0f}% busy ({cores} pinned)", flush=True)
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    import threading
+
+    if os.environ.get("PYCRAWLER_CPUSAMPLE", "") == "1":
+        stop = threading.Event()
+        samples: list = []
+        threading.Thread(
+            target=_cpu_sampler, args=(cores, stop, samples), daemon=True
+        ).start()
     cdir = bench.corpus_dir()
     spark = get_spark(
         app_name=f"profile-crawl-{cores}",
