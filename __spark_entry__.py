@@ -1205,6 +1205,26 @@ def _q_ann_lsh(spark, sf):
     return lsh_topk(bucketed, [float(x) for x in q], k=10, bits=6, n_flip=1)
 
 
+def _q_ann_ivf(spark, sf):
+    """ANN via an IVF coarse quantizer (deterministic spherical
+    k-means, seeded init) probing the 4 nearest cells for the vec_id=0
+    query. Oracle: none (seeded numpy training); recall vs brute force
+    is asserted in tests/test_dataops.py. Complements ann_lsh_topk:
+    IVF adapts cells to the data distribution, LSH needs no training."""
+    from pycrawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = ivf_fit(e, n_centroids=8, dim=dim, iters=3)
+    assigned = ivf_assign(e, cents)
+    return ivf_topk(assigned, cents, [float(x) for x in q], k=10, n_probe=3)
+
+
 def _q_crawl_depth_counts(spark, sf):
     """End-to-end wave crawl on a tiny deterministic synthetic corpus:
     URLs fetched per (host, depth). Oracle: the pytest parity suite
@@ -1282,6 +1302,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_lsh_blocked_cosine": _q40_lsh_blocked_cosine,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
     "crawl_depth_counts": _q_crawl_depth_counts,
 }
 

@@ -120,6 +120,88 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, emb_col)
 
 
+def ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    iters: int = 5,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF ANN (deterministic:
+    seeded random-unit init, fixed iteration count, ties broken by
+    lowest cell id in argmax).
+
+    Scale shape: each Lloyd iteration is one assignment pass (numpy
+    matmul per Arrow batch) + one ``groupBy(cell, pos).avg`` over the
+    posexploded vectors; only the (n_centroids x dim) centroid matrix
+    ever reaches the driver. 10^9 rows is iters x 2 shuffle-light jobs.
+    """
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, c, emb_col)
+        rows = (
+            assigned.select("cell", F.posexplode(F.col(emb_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        nxt = c.copy()  # empty cells keep their centroid
+        seen_cells = {r["cell"] for r in rows}
+        for cell in seen_cells:
+            nxt[cell] = 0.0
+        for r in rows:
+            nxt[r["cell"]][r["pos"]] = r["m"]
+        norms = np.linalg.norm(nxt, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        c = nxt / norms
+    return c
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cell`` = argmax-dot centroid id (one numpy matmul per
+    Arrow batch). Persist + bucket the table by ``cell`` at scale so
+    probes prune files, exactly like the LSH ``bucket`` column."""
+    cmat = centroids.astype(np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def cell_udf(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cmat.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell_udf(F.col(emb_col)))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: List[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only rows in the ``n_probe`` cells whose
+    centroids are nearest the query. The cell filter is an IN-list
+    predicate — file/partition pruning when the table is bucketed by
+    cell. Complements :func:`lsh_topk`: IVF adapts its partitions to
+    the data distribution (clustered corpora probe fewer rows), LSH
+    needs no training pass."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+    sims = centroids @ qn
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand = assigned.filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand, query_vec, k, id_col, emb_col)
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float,

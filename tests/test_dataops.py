@@ -102,6 +102,47 @@ def test_similarity_brute_force_and_lsh_recall(spark):
     bucketed.unpersist()
 
 
+def test_ivf_topk_recall_and_pruning(spark):
+    """IVF must (a) rank the query vector itself first, (b) reach
+    decent recall vs brute force while scanning only the probed cells,
+    and (c) be deterministic (seeded init + fixed iterations)."""
+    import numpy as np
+
+    from pycrawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 16, 5, 80
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((per, dim)) for i in range(n_clusters)]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[7].tolist()
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+
+    c1 = ivf_fit(df, n_centroids=n_clusters, dim=dim, iters=3)
+    c2 = ivf_fit(df, n_centroids=n_clusters, dim=dim, iters=3)
+    assert np.allclose(c1, c2)  # deterministic training
+
+    assigned = ivf_assign(df, c1).cache()
+    top = ivf_topk(assigned, c1, q, k=10, n_probe=2).collect()
+    assert top[0].vec_id == 7
+    recall = len(set(exact) & {r.vec_id for r in top}) / 10
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+    # pruning actually prunes: probed candidate set < full table
+    probed = ivf_topk(assigned, c1, q, k=10**6, n_probe=1).count()
+    assert probed < len(vecs)
+    assigned.unpersist()
+
+
 def test_lsh_blocked_cosine_pairs_recall(spark):
     """The blocked near-dup path must recover (nearly) all exact pairs
     at a high threshold while generating far fewer candidate pairs
