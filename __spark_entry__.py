@@ -1166,6 +1166,104 @@ def _o40(dim: int = 64, bits: int = 8) -> str:
     """
 
 
+def _q41_gopher_quality(spark, sf):
+    """Gopher-style quality-rule filter (training-data curation op):
+    per-document word stats + repetition signals, and a pass/fail
+    verdict against fixed thresholds (n_words in [20, 100000],
+    unique-word ratio >= 0.2, top-word share <= 0.2, mean word length
+    in [2, 12]). Entirely relational — explode + two aggregations —
+    so it runs JVM-side and value-checks against DuckDB."""
+    d = _t(spark, sf, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_uniq"),
+        F.max("c").alias("top_cnt"),
+        (F.sum(F.length("w") * F.col("c")) / F.sum("c")).alias("mwl"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_uniq").cast("long").alias("n_uniq"),
+        F.round(F.col("n_uniq") / F.col("n_words"), 4).alias("uniq_ratio"),
+        F.round(F.col("top_cnt") / F.col("n_words"), 4).alias("top_share"),
+        F.round("mwl", 4).alias("mean_word_len"),
+        (
+            F.col("n_words").between(20, 100000)
+            & ((F.col("n_uniq") / F.col("n_words")) >= 0.2)
+            & ((F.col("top_cnt") / F.col("n_words")) <= 0.2)
+            & F.col("mwl").between(2.0, 12.0)
+        ).alias("passes"),
+    )
+
+
+def _o41():
+    return """
+    WITH cnt AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ), agg AS (
+      SELECT doc_id,
+             sum(c) AS n_words,
+             count(*) AS n_uniq,
+             max(c) AS top_cnt,
+             sum(length(w) * c) * 1.0 / sum(c) AS mwl
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_uniq AS BIGINT) AS n_uniq,
+           round(n_uniq * 1.0 / n_words, 4) AS uniq_ratio,
+           round(top_cnt * 1.0 / n_words, 4) AS top_share,
+           round(mwl, 4) AS mean_word_len,
+           (n_words BETWEEN 20 AND 100000
+            AND n_uniq * 1.0 / n_words >= 0.2
+            AND top_cnt * 1.0 / n_words <= 0.2
+            AND mwl BETWEEN 2.0 AND 12.0) AS passes
+    FROM agg
+    """
+
+
+def _q42_dup_clusters(spark, sf):
+    """Near-dup cluster canonicalization: connected components over
+    the q39 cosine-pair graph via min-label propagation, keeping the
+    lowest id per cluster as the canonical representative — the
+    "choose survivors" step of any dedup pipeline. Iterative
+    (O(diameter) rounds of join+groupBy), value-checked against a
+    DuckDB recursive-CTE transitive closure."""
+    from pycrawler_spark.operators.dedup import dup_clusters
+    from pycrawler_spark.operators.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    pairs = cosine_dup_pairs(e, 0.35)
+    return dup_clusters(e.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _o42():
+    return """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.35
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+    )
+    SELECT id AS vec_id,
+           CAST(min(r) AS BIGINT) AS cluster_id,
+           (min(r) = id) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1300,6 +1398,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_training_data_filter": _q38_training_data_filter,
     "q39_cosine_dup_pairs": _q39_cosine_dup_pairs,
     "q40_lsh_blocked_cosine": _q40_lsh_blocked_cosine,
+    "q41_gopher_quality": _q41_gopher_quality,
+    "q42_dup_clusters": _q42_dup_clusters,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1347,6 +1447,8 @@ _ORACLES: dict[str, str] = {
     "q38_training_data_filter": _o38(),
     "q39_cosine_dup_pairs": _o39(),
     "q40_lsh_blocked_cosine": _o40(),
+    "q41_gopher_quality": _o41(),
+    "q42_dup_clusters": _o42(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

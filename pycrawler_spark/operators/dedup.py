@@ -213,3 +213,68 @@ def simhash_near_pairs(
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> canonical
+    document selection (the step every dedup pipeline needs after pair
+    finding: keep ONE representative per duplicate cluster).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (diameter a few hops), so this is a handful of
+    (join + groupBy) shuffles keyed by node id, each wave-sized, with
+    per-round lineage truncation. No driver-side graph ever exists;
+    the only driver value is the per-round convergence counter.
+
+    Returns (id_col, cluster_id, is_canonical) where cluster_id is the
+    component's min id and is_canonical marks the kept representative
+    (deterministic: lowest id wins).
+    """
+    # materialize the symmetric edge list ONCE — every round joins it,
+    # and the upstream pair finder (LSH blocking / cosine verify) must
+    # not recompute per round
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        nxt = (
+            labels.join(nb, labels["id"] == nb["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
+    )

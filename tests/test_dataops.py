@@ -447,3 +447,21 @@ def test_derive_robots_from_corpus(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_dup_clusters_components(spark):
+    """Chain a-b-c collapses to one cluster labeled by its min id;
+    isolated nodes stay their own canonical cluster."""
+    from pycrawler_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # 0-1, 1-2 (chain), 4-5; 3 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dup_clusters(nodes, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True), 5: (4, False),
+    }
