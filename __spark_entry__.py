@@ -317,7 +317,9 @@ def _q12_minhash_dup_pairs(spark, sf):
         "doc_id",
         F.md5(F.concat(F.col("mh_s1"), F.col("mh_s2"))).alias("band1"),
         F.md5(F.concat(F.col("mh_s3"), F.col("mh_s4"))).alias("band2"),
-    )
+    ).cache()
+    # cache: the self-join's union reads this subtree 4x; without it
+    # the explode+groupBy minhash aggregation recomputes each time
     longf = bands.select("doc_id", F.col("band1").alias("sig")).unionByName(
         bands.select("doc_id", F.col("band2").alias("sig"))
     )
