@@ -359,7 +359,7 @@ def _q13_jaccard_neighbors(spark, sf):
     d = _t(spark, sf, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).distinct()
+    ).distinct().cache()  # read 4x: self-join sides + both size lookups
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
     b = words.alias("b")
