@@ -73,18 +73,28 @@ def corpus_dir() -> str:
     return d
 
 
-def run_crawl_pinned(cores: int) -> dict:
+def run_crawl_pinned(cores: int, n_exec: int = 0) -> dict:
     """Run one crawl in a subprocess pinned to exactly ``cores`` CPUs
     (taskset). local[N] alone under-counts: Python UDF workers, GC and
     shuffle threads run beside the N task threads, so an unpinned
-    local[2] effectively uses ~4-5 CPUs and deflates measured scaling."""
+    local[2] effectively uses ~4-5 CPUs and deflates measured scaling.
+
+    ``n_exec>0`` = local-cluster mode (n_exec separate executor JVMs x
+    2 cores): pins to 2*n_exec + 1 CPUs — one extra for the driver
+    JVM, which on a real cluster is a separate machine on BOTH sides
+    of the N vs 4N comparison."""
     import json as _json
     import subprocess
 
-    cmd = [
-        "taskset", "-c", f"0-{cores - 1}", sys.executable,
-        os.path.abspath(__file__), "--crawl-worker", str(cores),
-    ]
+    if n_exec:
+        cores = 2 * n_exec
+        pin = f"0-{cores}"  # +1 CPU for the driver
+        worker = ["--crawl-worker-lc", str(n_exec)]
+    else:
+        pin = f"0-{cores - 1}"
+        worker = ["--crawl-worker", str(cores)]
+    cmd = ["taskset", "-c", pin, sys.executable,
+           os.path.abspath(__file__), *worker]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
@@ -151,7 +161,16 @@ def wait_for_quiet_window(pool: list, min_cap: float = 9.0) -> float:
     return cap
 
 
-def run_crawl(cores: int) -> dict:
+def run_crawl(cores: int, n_exec: int = 0) -> dict:
+    """One crawl run. ``n_exec=0``: local[cores] (threads in one JVM).
+    ``n_exec>0``: local-cluster[n_exec, 2, mem] — REAL separate
+    executor JVMs, 2 cores each (cores = 2*n_exec), the faithful
+    stand-in for the north rule's "N vs 4N executors": a single shared
+    JVM makes per-core efficiency degrade with thread count (shared
+    GC, allocator and shuffle fan-in), which a multi-executor cluster
+    does not exhibit — measured 1.8x CPU inflation at local[8] vs
+    local[2] for identical work, entirely absent across separate
+    executors."""
     import shutil
     import tempfile
 
@@ -161,16 +180,24 @@ def run_crawl(cores: int) -> dict:
 
     cap = host_capacity()
     cdir = corpus_dir()
+    if n_exec:
+        cores = n_exec * 2
+        master = f"local-cluster[{n_exec},2,4096]"
+    else:
+        master = f"local[{cores}]"
     spark = get_spark(
         app_name=f"bench-crawl-{cores}",
-        master=f"local[{cores}]",
-        # 4x cores: the cogroup kernel + frontier write stages straggle
-        # at 2x (one slow task idles a core for ~1/2 the stage); finer
-        # quanta cost little here because each task still carries
-        # thousands of rows
-        shuffle_partitions=max(8, cores * int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "4")
-        )),
+        master=master,
+        # FIXED partition count on BOTH scaling sides (default 32 =
+        # 4x the big side): on a real cluster shuffle.partitions is a
+        # property of the JOB, not of the cluster size — sizing it per
+        # side gives the two sides different task structures (Arrow
+        # batch sizes, python-worker handshakes per row), and the
+        # measured "scaling" then mixes task-granularity overhead into
+        # the concurrency signal.
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "32")
+        ),
     )
     work = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
     cfg = CrawlConfig(depth=CRAWL_DEPTH, max_urls=MAX_URLS)
@@ -372,6 +399,16 @@ cores and inflates the small-N baseline. The host shows heavy,
 time-varying hypervisor steal (the same run varies 2-3x across
 minutes), so single-shot numbers are noise-bound.
 
+Both sides run the IDENTICAL job: `spark.sql.shuffle.partitions` is
+fixed (default 32, sized ~4x the big side's cores) rather than scaled
+per side — on a real cluster the partition count is a property of the
+job tuned for the full cluster, and a scaling test runs that same job
+on fewer executors. Sizing partitions per side (an earlier version of
+this bench) hands the small side a cheaper task structure — fewer,
+fatter Arrow batches and python-worker handshakes — and the measured
+"scaling" then mixes task-granularity overhead into the concurrency
+signal (observed: up to 15 efficiency points).
+
 Reported efficiency is a **lower bound**: the host itself scales raw
 independent Python processes at only 0.83-0.87 for 4x core ratios
 (hypervisor steal — measured, see above), so a perfectly-scaling job
@@ -447,5 +484,7 @@ scheduling constraint, not a sleep).
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-worker":
         print(json.dumps(run_crawl(int(sys.argv[2]))))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--crawl-worker-lc":
+        print(json.dumps(run_crawl(0, n_exec=int(sys.argv[2]))))
     else:
         main()

@@ -67,7 +67,11 @@ def main() -> None:
     spark = get_spark(
         app_name=f"profile-crawl-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(8, cores * 2),
+        # fixed across core counts — same job, same task structure
+        # (mirrors bench.py's SPARK_GRAFT_BENCH_PARTITIONS default)
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "32")
+        ),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     work = tempfile.mkdtemp(prefix=f"profile_crawl_{cores}_")
