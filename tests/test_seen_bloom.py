@@ -61,6 +61,31 @@ def test_relevant_seen_exact_with_and_without_bloom(spark):
         assert got == expect, f"use_bloom={use_bloom}"
 
 
+def test_relevant_seen_semi_skip_is_superset_only(spark):
+    """use_semi=False returns seen UNCHANGED (a plan choice, not a
+    semantics one): the kernel treats per-task seen rows as a
+    membership set, so the no-semi plan must contain every row the
+    semi plan keeps, and the kernel outcome is identical. Verified by
+    asserting the semi result is a subset and the passthrough is
+    exact."""
+    seen = spark.createDataFrame(
+        [(1, f"https://h/{i}") for i in range(50)] + [(2, "https://h/0")],
+        "task_id long, url_norm string",
+    )
+    cands = spark.createDataFrame(
+        [("https://h/0",), ("https://h/7",), ("https://h/999",)],
+        "url_norm string",
+    )
+    full = {(r.task_id, r.url_norm)
+            for r in relevant_seen(seen, cands, use_semi=False).collect()}
+    semi = {(r.task_id, r.url_norm)
+            for r in relevant_seen(seen, cands, use_semi=True,
+                                   use_bloom=False).collect()}
+    assert full == {(r.task_id, r.url_norm) for r in seen.collect()}
+    assert semi <= full
+    assert (1, "https://h/7") in semi and (2, "https://h/0") in semi
+
+
 def test_distributed_bloom_build_matches_local(spark):
     df = spark.createDataFrame(
         [(f"key{i}",) for i in range(3000)], "url_norm string"
