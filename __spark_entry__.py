@@ -1266,6 +1266,120 @@ def _o42():
     """
 
 
+def _q43_hash_split(spark, sf):
+    """Deterministic train/val/test split by id hash (90/5/5): stable
+    across runs and engines, so reprocessing a grown corpus never
+    moves an old document between splits. Aggregated per (lang, split)
+    so the oracle checks both the assignment and the distribution."""
+    from pycrawler_spark.operators.curation import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(d)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+def _o43(t: int = 90, v: int = 5):
+    return f"""
+    WITH s AS (
+      SELECT lang, doc_id,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+              ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+              AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {t} THEN 'train'
+                WHEN bucket < {t + v} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY 1, 2
+    """
+
+
+def _q44_decontaminate(spark, sf):
+    """Benchmark decontamination: flag documents sharing any 3-gram
+    with a held-out 'benchmark' set (docs 0-4 stand in for an eval
+    set). Broadcast join of tiny distinct benchmark n-grams against
+    the exploded corpus n-grams — the corpus never shuffles."""
+    from pycrawler_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 5)
+    return decontaminate(d.filter(F.col("doc_id") >= 5), bench)
+
+
+def _o44():
+    return """
+    WITH bench AS (
+      SELECT DISTINCT g AS shingle FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        )) AS g
+        FROM documents WHERE doc_id < 5
+      )
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+      ))) AS g
+      FROM documents WHERE doc_id >= 5
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM grams JOIN bench ON grams.g = bench.shingle
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+
+
+def _q45_pack_sequences(spark, sf):
+    """Greedy sequence packing into 512-token packs, one shard per
+    lang: the id-ordered greedy fold is inherently sequential per
+    shard (the same per-task-kernel shape as the crawl's budget loop)
+    and runs as applyInPandas per lang; shards pack in parallel. The
+    DuckDB oracle replays the fold with a recursive CTE, so the
+    stateful kernel is value-checked row-by-row."""
+    from pycrawler_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, capacity=512)
+
+
+def _o45(cap: int = 512):
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec AS (
+      SELECT doc_id, lang, n_tokens, rn,
+             CAST(1 AS BIGINT) AS pack_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+             CASE WHEN rec.fill + d.n_tokens <= {cap}
+                  THEN rec.pack_id ELSE rec.pack_id + 1 END,
+             CASE WHEN rec.fill + d.n_tokens <= {cap}
+                  THEN rec.fill + d.n_tokens ELSE d.n_tokens END
+      FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, pack_id FROM rec
+    """
+
+
 # --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
 
 def _q_media_features(spark, sf):
@@ -1402,6 +1516,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_lsh_blocked_cosine": _q40_lsh_blocked_cosine,
     "q41_gopher_quality": _q41_gopher_quality,
     "q42_dup_clusters": _q42_dup_clusters,
+    "q43_hash_split": _q43_hash_split,
+    "q44_decontaminate": _q44_decontaminate,
+    "q45_pack_sequences": _q45_pack_sequences,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1451,6 +1568,9 @@ _ORACLES: dict[str, str] = {
     "q40_lsh_blocked_cosine": _o40(),
     "q41_gopher_quality": _o41(),
     "q42_dup_clusters": _o42(),
+    "q43_hash_split": _o43(),
+    "q44_decontaminate": _o44(),
+    "q45_pack_sequences": _o45(),
     # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
     # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
     # semantics respectively); each is verified in pytest instead

@@ -1,0 +1,128 @@
+"""Training-data curation operators (beyond-reference, task brief):
+deterministic dataset splitting, benchmark decontamination, and
+sequence packing — the steps between "deduped web text" and "batches
+a trainer can consume".
+
+Every operator here is either pure-relational (JVM, oracle-checked in
+DuckDB) or an explicitly-stateful kernel whose oracle is a recursive
+CTE; none touches Python per-row in a scan.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash — stable across runs, machines and engine versions (md5 is
+    pinned everywhere), so re-processing a grown corpus never moves an
+    old document between splits.
+
+    The bucket is the first two md5 hex chars' code points mod 100 —
+    chosen over hex-parse because ``ascii()`` exists verbatim in both
+    Spark and DuckDB, keeping the oracle byte-identical.
+    """
+    t, v, _ = weights
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split",
+        F.when(F.col("bucket") < t, "train")
+        .when(F.col("bucket") < t + v, "val")
+        .otherwise("test"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``ngram``-gram with a held-out benchmark set (the standard
+    n-gram-overlap protocol). Returns (id, n_hits, contaminated).
+
+    Plan shape: benchmark n-grams are DISTINCT and tiny (eval sets are
+    KBs against a 100 TB corpus) -> broadcast hash join against the
+    exploded corpus n-grams; the corpus side shuffles nothing and the
+    text column never leaves the scan.
+    """
+    from pycrawler_spark.operators.dedup import shingle
+
+    bench_grams = (
+        shingle(benchmark, text_col, id_col, k=ngram)
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = shingle(docs, text_col, id_col, k=ngram)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+PACK_SCHEMA = "doc_id long, lang string, n_tokens long, pack_id long"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: within each group (shard), documents
+    in id order are appended to the current pack until it would exceed
+    ``capacity`` tokens, then a new pack starts (documents longer than
+    capacity get a pack of their own). The id-ordered greedy fold is
+    inherently sequential PER SHARD — exactly the per-task-kernel
+    shape of the crawl's budget loop — so it runs as one
+    ``applyInPandas`` per group; shards pack in parallel and a pack
+    never spans shards (what a trainer wants: shard-local files).
+
+    Oracle: a DuckDB recursive CTE replays the same fold row-by-row
+    (see ``_o45`` in the entry contract), value-checking the stateful
+    kernel end-to-end.
+    """
+    toks = docs.select(
+        id_col,
+        group_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        pack, fill = 1, 0
+        packs = []
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > capacity:
+                pack += 1
+                fill = 0
+            fill += n
+            packs.append(pack)
+        pdf["pack_id"] = packs
+        return pdf[["doc_id", "lang", "n_tokens", "pack_id"]]
+
+    return toks.groupBy(group_col).applyInPandas(kernel, PACK_SCHEMA)

@@ -465,3 +465,39 @@ def test_dup_clusters_components(spark):
         0: (0, True), 1: (0, False), 2: (0, False),
         3: (3, True), 4: (4, True), 5: (4, False),
     }
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    """Boundary semantics: a doc that would overflow starts a new
+    pack; an oversize doc gets its own pack (and the next doc starts
+    fresh); groups pack independently."""
+    from pycrawler_spark.operators.curation import pack_sequences
+
+    rows = [
+        (1, "a", "w " * 3),    # 4 tokens (trailing empty token counts)
+        (2, "a", "w " * 3),
+        (3, "a", "w " * 9),    # 10 tokens -> 4+4+10 > 10: new pack
+        (4, "a", "w " * 19),   # 20 tokens, oversize -> own pack
+        (5, "a", "w"),         # 1 token  -> after oversize: new pack
+        (6, "b", "w"),         # other group restarts at pack 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r.pack_id
+           for r in pack_sequences(df, capacity=10).collect()}
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 3
+    assert out[5] == 4
+    assert out[6] == 1
+
+
+def test_hash_split_stable_and_complete(spark):
+    from pycrawler_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert a == b                       # deterministic
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac_train < 0.97      # ~90% with hash noise
