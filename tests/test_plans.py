@@ -83,6 +83,36 @@ def test_fetch_join_broadcasts_wave_not_corpus(spark, tmp_path):
     assert "html" not in mplan.split("ReadSchema")[0] or True  # wave side has no html
 
 
+def test_above_cap_shuffle_fetch_matches_broadcast(spark, tmp_path):
+    """broadcast_wave_max_rows=0 forces the degraded (shuffle) fetch
+    join every wave — the path a 10^7-row wave takes on a real
+    cluster. Crawl results must be IDENTICAL to the broadcast path:
+    same fetch rows, same codes, same frontier."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=11, n_hosts=4, pages_per_host=8,
+        mega_factor=2,
+    )
+
+    def run(tag, **cfg_kw):
+        eng = CrawlEngine(
+            spark, str(tmp_path / f"job_{tag}"),
+            CrawlConfig(depth=2, max_urls=12, **cfg_kw), job=tag,
+        )
+        eng.init_job(spark.read.parquet(seeds_p), pages_p)
+        eng.run()
+        rows = eng.table("fetches").select(
+            "task_id", "url", "url_norm", "depth", "seq", "code",
+            "body_sha256",
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert run("bcast") == run("shuffle", broadcast_wave_max_rows=0)
+
+
 def test_candidate_pipeline_prunes_html(spark, tmp_path):
     """Slim candidate columns only — html must not survive past the
     extraction project into the shuffle toward the kernel."""
