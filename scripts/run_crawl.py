@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     ap.add_argument("--collect-requests", action="store_true")
     ap.add_argument("--login-seed-injection", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--iceberg-sync", metavar="CATALOG.DB",
+                    help="after the crawl, publish committed waves into "
+                         "Iceberg tables (snapshot per wave, MERGE tasks); "
+                         "requires iceberg-spark-runtime on the classpath "
+                         "and the catalog conf from storage.iceberg_conf")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +75,13 @@ def main(argv=None) -> int:
             spark.read.parquet(args.seeds), args.pages, robots=robots
         )
     stats = eng.run()
+    if args.iceberg_sync:
+        from pycrawler_spark import storage
+
+        catalog, db = args.iceberg_sync.split(".", 1)
+        print(json.dumps(
+            {"iceberg_sync": storage.sync_to_iceberg(eng, catalog, db)}
+        ))
     for s in stats:
         print(json.dumps(s))
     total = sum(s["scheduled"] + s["found"] for s in stats)
