@@ -282,7 +282,12 @@ def main():
         # ratio by however much the windows differ (observed 20%+).
         pairs = []
         wait_pool = [180.0]  # total seconds we may spend waiting for quiet
+        PAIR_COST_EST = 200.0  # seconds; one interleaved pair on this corpus
         for attempt in range(max(BEST_OF, 3)):
+            # budget check BEFORE starting a pair, so the worst case is
+            # bounded by the budget instead of budget + one full pair
+            if pairs and time.monotonic() - t_scaling > 480 - PAIR_COST_EST:
+                break  # noisy host: don't blow the harness budget
             wait_for_quiet_window(wait_pool)
             s = runner(SCALE_N)
             b = runner(SCALE_4N)
@@ -290,10 +295,6 @@ def main():
             pairs.append((e, s, b))
             if e >= 0.8:
                 break  # sampled a clean window; stop burning time
-            # budget grew with the 48-host corpus: one pair is ~150 s,
-            # so this allows ~3 sampled windows
-            if time.monotonic() - t_scaling > 480:
-                break  # noisy host: don't blow the harness budget
         _, small, big = max(pairs, key=lambda p: p[0])
         eff = (big["urls_per_sec"] / small["urls_per_sec"]) / ratio
         eff_steady = (
