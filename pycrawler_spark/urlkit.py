@@ -166,11 +166,34 @@ def url_from_href(href: Optional[str], base: ParsedUrl) -> Optional[ParsedUrl]:
 
     Mirrors ``utils.get_url_from_href`` (utils.py:89-94): blank hrefs
     yield None; the join base is the page URL *with* query+fragment.
+
+    Fast path: an absolute-path reference (``/x...``) resolves to
+    ``scheme://netloc`` + href directly (RFC 3986 §5.3) — ``urljoin``
+    re-parses the base string on every call, which dominates the
+    per-link cost of a crawl wave. The path is gated to hrefs where
+    urljoin performs NO transformation beyond that concatenation:
+    no ``.``/``..`` dot segments (urljoin removes those) and no
+    backslashes (3.11+ treats them specially in some positions).
+    The result feeds ``parse_url`` either way, so cosmetic string
+    differences urljoin would normalize later (e.g. a dangling ``#``)
+    cannot survive into the ParsedUrl fields; equivalence against
+    pure urljoin is property-tested in tests/test_urlkit.py.
     """
     if href is None or not href.strip():
         return None
+    h = href.strip()
+    if (
+        h.startswith("/")
+        and not h.startswith("//")
+        and "\\" not in h
+        and ";" not in h  # urljoin applies urlparse ;params splitting
+        and "/../" not in h
+        and "/./" not in h
+        and not h.endswith(("/..", "/."))
+    ):
+        return parse_url(f"{base.scheme}://{base.netloc}{h}")
     try:
-        joined = urllib.parse.urljoin(url_str_with_query_fragment(base), href.strip())
+        joined = urllib.parse.urljoin(url_str_with_query_fragment(base), h)
     except ValueError:
         return None
     return parse_url(joined)

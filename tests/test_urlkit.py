@@ -188,3 +188,55 @@ def test_load_psl_missing_path_raises(tmp_path):
         psl.load_psl(str(tmp_path / "nope.dat"))
     # state untouched on failure
     assert psl.fld("example.com") == "example.com"
+
+
+def test_url_from_href_fast_path_matches_urljoin():
+    """The absolute-path fast path must produce IDENTICAL ParsedUrl
+    fields to pure urljoin for every href it accepts — property-tested
+    over generated hrefs plus hand-picked urljoin-transformation
+    traps (which must take the slow path and still agree)."""
+    import urllib.parse
+
+    from hypothesis import given, settings, strategies as st
+
+    from pycrawler_spark import urlkit
+
+    bases = [
+        urlkit.parse_url(u)
+        for u in (
+            "https://site0.com/p1",
+            "http://sub.example.co.uk/a/b?x=1#frag",
+            "https://user:pw@host.com:8443/deep/path/",
+        )
+    ]
+
+    def via_urljoin(href, base):
+        if href is None or not href.strip():
+            return None
+        try:
+            joined = urllib.parse.urljoin(
+                urlkit.url_str_with_query_fragment(base), href.strip()
+            )
+        except ValueError:
+            return None
+        return urlkit.parse_url(joined)
+
+    seg = st.text(
+        alphabet="abcz09-_.~%!$&'()*+,;=:@ #?/\\", min_size=0, max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(href=st.builds(lambda s: "/" + s, seg))
+    def check(href):
+        for base in bases:
+            assert urlkit.url_from_href(href, base) == via_urljoin(href, base)
+
+    check()
+
+    for href in (
+        "/a/../b", "/./x", "/..", "/.", "/a/..", "/a/.", "/..x", "/.hidden",
+        "//other.com/p", "/p#", "/p?", "/p?q=/", "/p#f/", "relative/x",
+        "../up", "?q=2", "#f", "http://abs.com/x",
+    ):
+        for base in bases:
+            assert urlkit.url_from_href(href, base) == via_urljoin(href, base), href
