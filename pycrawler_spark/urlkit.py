@@ -72,6 +72,19 @@ def parse_url(url: str) -> Optional[ParsedUrl]:
     )
 
 
+# Identity fast-shape for normalize_url (defaults only): lowercase
+# scheme + bare lowercase host (no userinfo/port), non-empty path
+# segments (no // runs), no trailing slash, no ';' in the path
+# (urlparse would split it off as params and DROP it), no fragment,
+# optional query not ending in '/' (the raw rstrip would eat it) —
+# every transformation normalize_url performs is provably a no-op, so
+# the input IS its own canonical form. Property-tested in
+# tests/test_urlkit.py against the full function.
+_NORM_IDENTITY_RE = __import__("re").compile(
+    r"^[a-z][a-z0-9+.\-]*://[a-z0-9.\-]+(/[^/;?#\s\\]+)+(\?[^#\s]*[^/#\s])?$"
+)
+
+
 def normalize_url(url: str, query: bool = True, fragment: bool = False) -> str:
     """Canonical URL form — the dedup key of the whole engine.
 
@@ -91,6 +104,8 @@ def normalize_url(url: str, query: bool = True, fragment: bool = False) -> str:
     """
     if url is None:
         return None
+    if query and not fragment and _NORM_IDENTITY_RE.match(url):
+        return url  # already canonical (see _NORM_IDENTITY_RE)
     url = url.strip().rstrip("/")
     try:
         p = urllib.parse.urlparse(url)
@@ -182,14 +197,17 @@ def url_from_href(href: Optional[str], base: ParsedUrl) -> Optional[ParsedUrl]:
     if href is None or not href.strip():
         return None
     h = href.strip()
+    # dot-segment rules apply to the PATH portion only ("/.#f" has a
+    # dot segment; "/p?x=/." does not)
+    hpath = h.split("#", 1)[0].split("?", 1)[0]
     if (
         h.startswith("/")
         and not h.startswith("//")
         and "\\" not in h
         and ";" not in h  # urljoin applies urlparse ;params splitting
-        and "/../" not in h
-        and "/./" not in h
-        and not h.endswith(("/..", "/."))
+        and "/../" not in hpath
+        and "/./" not in hpath
+        and not hpath.endswith(("/..", "/."))
     ):
         return parse_url(f"{base.scheme}://{base.netloc}{h}")
     try:

@@ -240,3 +240,63 @@ def test_url_from_href_fast_path_matches_urljoin():
     ):
         for base in bases:
             assert urlkit.url_from_href(href, base) == via_urljoin(href, base), href
+
+
+def test_normalize_identity_fast_shape_is_exact():
+    """Any URL matching the identity fast-shape must already BE its
+    canonical form per the full normalize_url pipeline — fuzzed over
+    generated URLs (matching and not), comparing against a regex-free
+    reference copy of the function."""
+    import urllib.parse
+
+    from hypothesis import given, settings, strategies as st
+
+    from pycrawler_spark import urlkit
+
+    def reference(url):
+        url = url.strip().rstrip("/")
+        try:
+            p = urllib.parse.urlparse(url)
+            host = p.hostname
+            port = p.port
+        except ValueError:
+            return url
+        scheme = p.scheme.lower()
+        netloc = host.lower() if host else ""
+        if port:
+            is_default = (scheme == "http" and port == 80) or (
+                scheme == "https" and port == 443
+            )
+            if not is_default:
+                netloc = f"{netloc}:{port}"
+        path = p.path or "/"
+        while "//" in path:
+            path = path.replace("//", "/")
+        if path != "/" and path.endswith("/"):
+            path = path.rstrip("/")
+        return urllib.parse.urlunparse(
+            (scheme, netloc, path, "", p.query, "")
+        )
+
+    piece = st.text(
+        alphabet="abcZ09-._~%!$&'()*+,;=:@/?#  \\", min_size=0, max_size=10
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(host=st.text(alphabet="abz09.-", min_size=1, max_size=8), tail=piece)
+    def check(host, tail):
+        url = f"http://{host}/{tail}"
+        assert urlkit.normalize_url(url) == reference(url)
+        url2 = f"HTTPS://User@{host}:443/{tail}"
+        assert urlkit.normalize_url(url2) == reference(url2)
+
+    check()
+
+    # canonical-looking URLs take the fast path and must round-trip
+    for u in (
+        "https://site0.com/p1",
+        "http://a.co/x/y?q=1&r=;2",
+        "https://h.io/a.b/c-d?x",
+    ):
+        assert urlkit._NORM_IDENTITY_RE.match(u)
+        assert urlkit.normalize_url(u) == u == reference(u)
