@@ -468,10 +468,13 @@ def _q15_embedding_topk(spark, sf):
         .filter(F.col("vec_id") != 0)
         .select("vec_id", (dot / nrm).alias("cos"))
     )
+    # TakeOrderedAndProject (per-partition top-k, k*partitions merged on
+    # the driver) instead of a global single-partition window sort; the
+    # rn window then runs over the 10 surviving rows only.
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(10)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        top.withColumn("rn", F.row_number().over(w))
         .select("vec_id", F.round(F.col("cos"), 4).alias("cos_sim"), "rn")
     )
 
@@ -1288,9 +1291,8 @@ def _o43(t: int = 90, v: int = 5):
     return f"""
     WITH s AS (
       SELECT lang, doc_id,
-             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
-              ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
-              AS bucket
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
       FROM documents
     )
     SELECT lang,
@@ -1380,13 +1382,15 @@ def _o45(cap: int = 512):
     """
 
 
-# --- crawl-engine queries (non-SQL-expressible -> rows-only check) ---------
+# --- crawl / ANN / media queries (oracled since round 3) --------------------
 
 def _q_media_features(spark, sf):
     """Multimodal plumbing: documents' text bytes as opaque media
     payloads -> deterministic fake decode -> typed feature rows.
-    Oracle: none (md5-derived float features are not practical in SQL);
-    rows-only + tests/test_dataops.py::test_media_feature_plumbing."""
+    Oracle: the md5-derived integer dims (width/height/n_frames) and
+    decode_ok are replayed in DuckDB via md5() hex arithmetic — only
+    the float feature vector stays pytest-verified
+    (tests/test_dataops.py::test_media_feature_plumbing)."""
     from pycrawler_spark.operators.media import extract_features
 
     d = _t(spark, sf, "documents")
@@ -1408,35 +1412,58 @@ def _q_media_features(spark, sf):
 
 def _q_ann_lsh(spark, sf):
     """ANN via random-hyperplane LSH buckets vs the vec_id=0 query.
-    Oracle: none (seeded numpy hyperplanes); recall vs brute force is
-    asserted in tests/test_dataops.py."""
+    Oracle: the seeded hyperplanes are inlined as SQL constants (the
+    q40 technique), so bucket assignment, multi-probe expansion, the
+    candidate filter AND the top-k are all value-checked; recall vs
+    brute force is additionally asserted in tests/test_dataops.py."""
     from pycrawler_spark.operators.similarity import add_lsh_bucket, lsh_topk
 
     e = _t(spark, sf, "embeddings")
     dim = len(e.select("embedding").first()[0])
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     bucketed = add_lsh_bucket(e, dim=dim, bits=6)
-    return lsh_topk(bucketed, [float(x) for x in q], k=10, bits=6, n_flip=1)
+    top = lsh_topk(bucketed, [float(x) for x in q], k=10, bits=6, n_flip=1)
+    return top.select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def _ivf_centroids(sf, n_centroids=8, iters=3):
+    """Quantizer for the oracled IVF entry query: fitted driver-side by
+    ivf_fit_local (the exact numpy twin of the distributed ivf_fit) so
+    the SAME centroid constants can be inlined into the DuckDB oracle.
+    Rows sorted by vec_id for a deterministic float-summation order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    from pycrawler_spark.operators.similarity import ivf_fit_local
+
+    return ivf_fit_local(mat, n_centroids=n_centroids, iters=iters)
 
 
 def _q_ann_ivf(spark, sf):
     """ANN via an IVF coarse quantizer (deterministic spherical
-    k-means, seeded init) probing the 4 nearest cells for the vec_id=0
-    query. Oracle: none (seeded numpy training); recall vs brute force
-    is asserted in tests/test_dataops.py. Complements ann_lsh_topk:
-    IVF adapts cells to the data distribution, LSH needs no training."""
-    from pycrawler_spark.operators.similarity import (
-        ivf_assign,
-        ivf_fit,
-        ivf_topk,
-    )
+    k-means, seeded init) probing the 3 nearest cells for the vec_id=0
+    query. Oracle: the fitted centroid matrix is inlined as SQL
+    constants (same constants feed the Spark plan via _ivf_centroids),
+    so cell assignment, probe selection and top-k are value-checked;
+    the distributed ivf_fit is equivalence- and recall-tested in
+    tests/test_dataops.py. Complements ann_lsh_topk: IVF adapts cells
+    to the data distribution, LSH needs no training."""
+    from pycrawler_spark.operators.similarity import ivf_assign, ivf_topk
 
     e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    cents = ivf_fit(e, n_centroids=8, dim=dim, iters=3)
+    cents = _ivf_centroids(sf)
     assigned = ivf_assign(e, cents)
-    return ivf_topk(assigned, cents, [float(x) for x in q], k=10, n_probe=3)
+    top = ivf_topk(assigned, cents, [float(x) for x in q], k=10, n_probe=3)
+    return top.select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
 
 
 def _q_crawl_depth_counts(spark, sf):
@@ -1467,6 +1494,155 @@ def _q_crawl_depth_counts(spark, sf):
         )
         .orderBy("host", "depth")
     )
+
+
+def _o_media() -> str:
+    """DuckDB replay of the deterministic fake decoder's integer dims:
+    md5(payload) byte k = hex chars [2k+1, 2k+2] (media.py _fake_decode);
+    the float feature vector is the one column left to pytest."""
+    return """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'video' WHEN 1 THEN 'image' ELSE 'audio'
+             END AS kind,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(1 + ('0x' || substr(h, 1, 2))::INT % 64 AS INT) AS width,
+           CAST(1 + ('0x' || substr(h, 3, 2))::INT % 64 AS INT) AS height,
+           CAST(CASE WHEN kind = 'image' THEN 1
+                     ELSE 1 + ('0x' || substr(h, 5, 2))::INT % 32
+                END AS INT) AS n_frames,
+           TRUE AS decode_ok
+    FROM m
+    """
+
+
+def _o_ann_lsh(dim: int = 64, bits: int = 6) -> str:
+    """Same technique as _o40: the seeded hyperplanes become SQL
+    constants, the query bucket + Hamming-1 probes are derived in SQL,
+    and the top-k window replays TakeOrderedAndProject's order."""
+    from pycrawler_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits)  # seed=42, identical to the Spark UDF
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[b])}]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    probes = ", ".join(str(p) for p in [0] + [1 << i for i in range(bits)])
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_expr}) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+    ), cand AS (
+      SELECT b.vec_id, b.v FROM b, q
+      WHERE b.bucket IN (SELECT xor(qb, p)
+                         FROM q, (SELECT unnest([{probes}]) AS p) t)
+    ), scored AS (
+      SELECT vec_id,
+             list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM cand, q
+    )
+    SELECT vec_id, round(cos, 4) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT vec_id, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+def _o_ann_ivf(sf: str = "/root/testdata/sf0.01") -> str:
+    """Inlines the _ivf_centroids-fitted quantizer (the same constants
+    the Spark plan uses) plus the numpy-derived probe cells; cell
+    assignment is argmax-dot via list_position(list_max) with
+    first-index tie-breaking, matching np.argmax. Generated against
+    sf0.01 — the scale the driver oracles at."""
+    import numpy as np
+
+    cents = _ivf_centroids(sf)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qv = np.asarray(
+        tbl.loc[tbl["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64
+    )
+    # identical probe computation to ivf_topk (same inputs -> same cells)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+    sims = cents @ qn
+    probes = ", ".join(str(int(i)) for i in np.argsort(-sims)[:3])
+    dots = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(float(x)) for x in c)}])"
+        for c in cents
+    )
+    return f"""
+    WITH a AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_value({dots}) AS sims
+      FROM embeddings
+    ), cand AS (
+      SELECT vec_id, v
+      FROM a WHERE list_position(sims, list_max(sims)) - 1 IN ({probes})
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id,
+             list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM cand, q
+    )
+    SELECT vec_id, round(cos, 4) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT vec_id, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+def _o_crawl() -> str:
+    """The pure-Python reference simulator (the parity oracle the
+    pytest suite trusts) replays the SAME deterministic corpus +
+    config as _q_crawl_depth_counts at oracle-build time; its expected
+    (host, depth) counts are inlined as a VALUES table. No Spark, no
+    filesystem coupling — the oracle is independent of the engine."""
+    from collections import Counter
+
+    from pycrawler_spark import urlkit
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.simulator import simulate
+    from pycrawler_spark.sources.corpus import generate_corpus
+
+    pages, seeds, _robots = generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=8, mega_factor=2
+    )
+    sim = simulate(
+        {p["url"]: p["html"] for p in pages},
+        seeds,
+        CrawlConfig(depth=2, max_urls=15),
+        job="entry",
+    )
+    n, ok = Counter(), Counter()
+    for _tid, url, depth, _rep, code in sim.fetches:
+        host = urlkit.parse_url(url).host
+        n[(host, depth)] += 1
+        if code == 200:
+            ok[(host, depth)] += 1
+    vals = ",\n      ".join(
+        f"('{h}', {d}, {n[(h, d)]}, {ok[(h, d)]})" for (h, d) in sorted(n)
+    )
+    return f"""
+    SELECT host, CAST(depth AS INT) AS depth,
+           CAST(n_fetched AS BIGINT) AS n_fetched,
+           CAST(n_ok AS BIGINT) AS n_ok
+    FROM (VALUES {vals}) AS t(host, depth, n_fetched, n_ok)
+    ORDER BY host, depth
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1571,9 +1747,10 @@ _ORACLES: dict[str, str] = {
     "q43_hash_split": _o43(),
     "q44_decontaminate": _o44(),
     "q45_pack_sequences": _o45(),
-    # media_features / ann_lsh_topk / crawl_depth_counts: intentionally
-    # no oracle (md5-float features, seeded numpy hyperplanes, and crawl
-    # semantics respectively); each is verified in pytest instead
+    "media_features": _o_media(),
+    "ann_lsh_topk": _o_ann_lsh(),
+    "ann_ivf_topk": _o_ann_ivf(),
+    "crawl_depth_counts": _o_crawl(),
 }
 
 

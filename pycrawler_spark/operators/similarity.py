@@ -49,11 +49,14 @@ def brute_force_topk(
         id_col,
         _cos_cols(f"cast({emb_col} as array<double>)", "qv").alias("cos_sim"),
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject: each partition
+    # keeps its local top-k and the driver merges k*partitions rows.
+    # The previous Window.orderBy + row_number shipped EVERY scored row
+    # through one task — a single-partition sort of the whole table at
+    # 10^9 rows. The rank window now runs over <= k rows only.
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
@@ -157,6 +160,35 @@ def ivf_fit(
         norms = np.linalg.norm(nxt, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         c = nxt / norms
+    return c
+
+
+def ivf_fit_local(
+    mat: np.ndarray,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side numpy twin of :func:`ivf_fit` — same seeded init,
+    same assignment rule (argmax dot of the L2-normalized row, ties to
+    the lowest cell), same per-cell mean + renormalize update, same
+    empty-cell handling. Used to pin the quantizer as inlinable
+    constants for the DuckDB oracle (the distributed :func:`ivf_fit`
+    is the scale path; equivalence is asserted in tests)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, mat.shape[1]))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    for _ in range(iters):
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((mat / norms) @ c.T, axis=1)
+        nxt = c.copy()  # empty cells keep their centroid
+        for cell in np.unique(cells):
+            nxt[cell] = mat[cells == cell].mean(axis=0)
+        n2 = np.linalg.norm(nxt, axis=1, keepdims=True)
+        n2[n2 == 0] = 1.0
+        c = nxt / n2
     return c
 
 

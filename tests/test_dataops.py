@@ -142,6 +142,14 @@ def test_ivf_topk_recall_and_pruning(spark):
     assert probed < len(vecs)
     assigned.unpersist()
 
+    # the driver-side numpy twin (used to inline oracle constants)
+    # reproduces the distributed fit: same init, same assignment rule,
+    # same update — differences bounded by float summation order.
+    from pycrawler_spark.operators.similarity import ivf_fit_local
+
+    c3 = ivf_fit_local(vecs, n_centroids=n_clusters, iters=3)
+    assert np.allclose(c1, c3, atol=1e-9), np.abs(c1 - c3).max()
+
 
 def test_lsh_blocked_cosine_pairs_recall(spark):
     """The blocked near-dup path must recover (nearly) all exact pairs
@@ -501,3 +509,17 @@ def test_hash_split_stable_and_complete(spark):
     assert set(a.values()) == {"train", "val", "test"}
     frac_train = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.8 < frac_train < 0.97      # ~90% with hash noise
+
+    # weights must sum to 100 (a typo'd (90, 5, 4) would silently
+    # shrink the test split)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, weights=(90, 5, 4))
+
+    # every bucket 0-99 is reachable: the bucket comes from real hash
+    # bits, not hex code points (which left 5 dead buckets and skewed
+    # the advertised split fractions)
+    big = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    buckets = {r.bucket for r in hash_split(big).select("bucket").distinct().collect()}
+    assert buckets == set(range(100)), sorted(set(range(100)) - buckets)

@@ -219,3 +219,31 @@ def test_seen_read_prunes_task_buckets(spark, tmp_path):
     rows = pruned.select("task_id").distinct().collect()
     assert all(r.task_id % 8 in (1, 3) for r in rows)
     assert rows, "expected tasks in buckets 1/3"
+
+
+def test_topk_is_take_ordered_not_global_window(spark):
+    """The exact top-k must plan as TakeOrderedAndProject (per-partition
+    local top-k merged on the driver), never a single-partition sort of
+    the whole scored table. Covers brute_force_topk and its entry twin,
+    plus the ANN paths that funnel candidates through it."""
+    import __spark_entry__ as E
+    from pycrawler_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+
+    for df in (
+        brute_force_topk(emb, qv, k=5),
+        E.queries()["q15_embedding_topk"](spark, SF),
+        E.queries()["ann_lsh_topk"](spark, SF),
+        E.queries()["ann_ivf_topk"](spark, SF),
+    ):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # the only tolerable single-partition stage is the rank window
+        # over the <= k limited rows; the scored table itself must not
+        # pass through one task. TakeOrderedAndProject subsumes the
+        # sort, so no Exchange SinglePartition may appear beneath it.
+        assert "Exchange SinglePartition" not in plan.split(
+            "TakeOrderedAndProject"
+        )[-1], plan
