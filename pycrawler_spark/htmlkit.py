@@ -89,14 +89,38 @@ def _hrefs_from_doc(doc: str) -> List[str]:
 
 # --- X9: meta http-equiv extraction (modules/SaveURL.py:35-38) ----------
 
+# Reference-fidelity path: with bs4 installed at deploy time the tags
+# are re-serialized via BeautifulSoup str(tag) exactly as the
+# reference does (SaveURL.py:36-38) — byte-identical even for exotic
+# HTML the regex path would pass through verbatim. extraction_mode()
+# is recorded in the job manifest so outputs are auditable.
+try:  # pragma: no cover - exercised only where bs4 is installed
+    from bs4 import BeautifulSoup as _BS
+
+    HAVE_BS4 = True
+except Exception:
+    _BS = None
+    HAVE_BS4 = False
+
+
+def extraction_mode() -> str:
+    return "bs4" if HAVE_BS4 else "regex"
+
+
 def extract_meta_http_equiv(html: "bytes | str | None") -> List[str]:
     """All ``<meta http-equiv=...>`` tags, as raw tag strings.
 
     The reference serializes via BeautifulSoup ``str(tag)``
-    (SaveURL.py:36-38); without bs4 we return the verbatim source tag,
-    which is byte-stable for our generated corpus (documented
-    divergence for arbitrary HTML re-serialization).
+    (SaveURL.py:36-38); that exact path runs when bs4 is importable.
+    Without bs4 we return the verbatim source tag, which is
+    byte-stable for our generated corpus (documented divergence for
+    arbitrary HTML re-serialization).
     """
+    if HAVE_BS4:
+        soup = _BS(to_text(html) or "", "html.parser")
+        return [
+            str(t) for t in soup.find_all("meta", attrs={"http-equiv": True})
+        ]
     return _meta_from_doc(_strip_nontext(to_text(html)))
 
 

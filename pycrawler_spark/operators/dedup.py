@@ -225,13 +225,22 @@ def dup_clusters(
     document selection (the step every dedup pipeline needs after pair
     finding: keep ONE representative per duplicate cluster).
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round takes the min of its label and its neighbors' labels;
-    converges in O(component diameter) rounds — near-dup clusters are
-    shallow (diameter a few hops), so this is a handful of
-    (join + groupBy) shuffles keyed by node id, each wave-sized, with
-    per-round lineage truncation. No driver-side graph ever exists;
-    the only driver value is the per-round convergence counter.
+    Min-label propagation with pointer jumping: every node starts
+    labeled with its own id; each round takes the min over its own
+    label, its neighbors' labels, AND its label's label (labels only
+    decrease and always point at a node with an equal-or-smaller
+    label, so the label-of-label hop is the classic pointer-jumping
+    step). The jump makes convergence O(log diameter) instead of
+    O(diameter) — a chain of 2^20 nodes finishes inside the default
+    ``max_iters`` — at the cost of one extra equi-join per round. Each
+    round is wave-sized shuffles keyed by node id with per-round
+    lineage truncation; no driver-side graph ever exists, the only
+    driver value is the per-round convergence counter.
+
+    Raises ``RuntimeError`` if labels still changed on the last
+    allowed round — silently returning unconverged labels would mark
+    several "canonical" docs inside one true cluster and let
+    duplicates survive dedup with no signal.
 
     Returns (id_col, cluster_id, is_canonical) where cluster_id is the
     component's min id and is_canonical marks the kept representative
@@ -248,18 +257,29 @@ def dup_clusters(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         nb = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        stepped = labels.join(nb, labels["id"] == nb["src"], "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nb_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- min(label, label(label))
+        ptr = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
         nxt = (
-            labels.join(nb, labels["id"] == nb["src"], "left")
+            stepped.join(ptr, stepped["label"] == ptr["p_id"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate the iterative lineage
@@ -273,6 +293,11 @@ def dup_clusters(
         labels = nxt
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

@@ -54,10 +54,34 @@ def _fake_decode(payload: bytes, kind: str):
     return w, ht, frames, dur, feat.tolist()
 
 
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAVE_PILLOW = True
+except Exception:
+    _PILImage = None
+    HAVE_PILLOW = False
+
+
 def _real_decode(payload: bytes, kind: str):
+    """Image decode via Pillow when installed (audio/video still need
+    libav — stubbed). Feature = FEATURE_DIM-bin normalized grayscale
+    histogram: deterministic, library-version-stable."""
+    if kind == "image" and HAVE_PILLOW:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload))
+        img.load()
+        gray = img.convert("L")
+        hist = np.asarray(gray.histogram(), dtype=np.float64)  # 256 bins
+        binned = hist.reshape(FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=1)
+        total = binned.sum()
+        feat = (binned / total if total else binned).astype(np.float32)
+        n_frames = int(getattr(img, "n_frames", 1))
+        return img.width, img.height, n_frames, 0.0, feat.tolist()
     raise NotImplementedError(
-        "real media decode requires Pillow/libav — not available in this "
-        "environment; wire the library call here (contract: return "
+        "real media decode requires Pillow (images) / libav (audio, "
+        "video) — wire the library call here (contract: return "
         "(width, height, n_frames, duration_ms, feature[FEATURE_DIM]))"
     )
 
@@ -128,6 +152,19 @@ def resize(
         return min(w0, target_w), min(h0, target_h), payload
 
     def _real_resize(payload: bytes):
+        if HAVE_PILLOW:
+            import io
+
+            img = _PILImage.open(io.BytesIO(payload))
+            img.load()
+            # aspect-preserving fit inside the target box
+            scale = min(target_w / img.width, target_h / img.height, 1.0)
+            w = max(1, int(img.width * scale))
+            h = max(1, int(img.height * scale))
+            out = img.resize((w, h))
+            buf = io.BytesIO()
+            out.save(buf, format=img.format or "PNG")
+            return w, h, buf.getvalue()
         raise NotImplementedError(
             "real image resize requires Pillow — wire it here (contract: "
             "return (new_w, new_h, resized_bytes))"

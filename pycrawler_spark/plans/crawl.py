@@ -95,6 +95,18 @@ class CrawlEngine:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
+    def _read_pages(self) -> DataFrame:
+        """The page corpus. ``pages_path`` is either a parquet path or
+        ``table:<catalog name>`` — the latter reads through the session
+        catalog so a corpus stored BUCKETED by the join key (Iceberg
+        ``bucket(N, url)`` / Spark ``bucketBy``) keeps its bucket spec
+        and the above-broadcast-cap fetch join co-locates with no
+        Exchange on the corpus side (SCALE.md)."""
+        p = self.pages_path
+        if p is not None and p.startswith("table:"):
+            return self.spark.table(p[len("table:"):])
+        return self.spark.read.parquet(p)
+
     def _read(self, table: str, waves: List[int]) -> Optional[DataFrame]:
         paths = [self._dir(table, w) for w in waves if os.path.isdir(self._dir(table, w))]
         if not paths:
@@ -266,10 +278,20 @@ class CrawlEngine:
         )
         per_depth = self._write_tasks(tasks, frontier0, 0)
         frontier0.unpersist()
+        from pycrawler_spark import htmlkit as _hk, psl as _psl, textkit as _tk
+
         self._save_manifest(
             {
                 "job": self.job,
                 "pages_path": pages_path,
+                # extraction-fidelity provenance: which optional
+                # reference-exact libraries were active for this job's
+                # outputs (byte-identical text invariant audit trail)
+                "extraction_modes": {
+                    "tokenize": _tk.tokenize_mode(),
+                    "meta_headers": _hk.extraction_mode(),
+                    "psl": _psl.psl_source(),
+                },
                 "next_wave": 1,
                 "depth": 0,
                 "waves": [
@@ -432,7 +454,7 @@ class CrawlEngine:
             return None
         d = os.path.join(self.workdir, "redirect_edges")
         if not os.path.isdir(d):
-            pages = self.spark.read.parquet(self.pages_path).select("url", "html")
+            pages = self._read_pages().select("url", "html")
             tmp = d + "_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             # JVM-side prefilter: only pages that can contain a refresh
@@ -579,6 +601,21 @@ class CrawlEngine:
     # ----- one wave ---------------------------------------------------------
 
     def _run_wave(self, m: Dict, depth: int) -> Dict:
+        # A failed wave must leave no background writer threads alive:
+        # the wave body forks fetch/frontier/seen/tasks writers onto a
+        # thread pool, and an exception between submit and the success
+        # path's shutdown would otherwise let orphan writers keep
+        # writing wave directories while the manifest-replay retry of
+        # the SAME wave races them on the same paths.
+        pools: List = []
+        try:
+            return self._run_wave_body(m, depth, pools)
+        except BaseException:
+            for pool in pools:
+                pool.shutdown(wait=True, cancel_futures=True)
+            raise
+
+    def _run_wave_body(self, m: Dict, depth: int, _pools: List) -> Dict:
         cfg = self.cfg
         wave_id = m["next_wave"]
         t0 = time.monotonic()
@@ -679,7 +716,7 @@ class CrawlEngine:
         # eager checkpoint here would be one more sequential job floor
         wave_r = self._resolve_targets(wave, closure).localCheckpoint(eager=False)
         trace("wave resolved (lazy ckpt)")
-        pages_raw = self.spark.read.parquet(self.pages_path)
+        pages_raw = self._read_pages()
         # K1 fidelity: the reference persists response headers per
         # fetch (SaveURL.py:71-72 resheaders JSON). A stored-page
         # corpus may carry them (WARC/WAT metadata) — propagate when
@@ -745,6 +782,7 @@ class CrawlEngine:
         import concurrent.futures as _cf
 
         pool = _cf.ThreadPoolExecutor(max_workers=5)
+        _pools.append(pool)  # cleaned up by _run_wave on any failure
         cache_hits = collect_links or cfg.collect_requests
         pre_tasks_dim = pre_seen = None
         if cache_hits:

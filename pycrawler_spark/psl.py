@@ -43,7 +43,8 @@ SUFFIXES: set[str] = {
     "online", "shop", "store", "blog", "cloud", "tech", "news", "media",
     "agency", "travel", "museum", "aero", "jobs", "mobi", "tel", "asia",
     "cat", "eu",
-    # country codes
+    # country codes (ISO 3166 ccTLDs with plain PSL rules; ccTLDs whose
+    # PSL entry is a wildcard rule live in SHIPPED_WILDCARD instead)
     "de", "fr", "uk", "nl", "it", "es", "pt", "pl", "cz", "sk", "at",
     "ch", "be", "dk", "se", "no", "fi", "is", "ie", "ru", "ua", "by",
     "ro", "bg", "gr", "tr", "il", "sa", "ae", "in", "pk", "cn", "jp",
@@ -52,6 +53,19 @@ SUFFIXES: set[str] = {
     "ca", "us", "cu", "gl", "ly", "me", "tv", "cc", "ws", "to", "fm",
     "am", "fo", "gg", "im", "je", "li", "lu", "lv", "lt", "ee", "hr",
     "hu", "si", "rs", "ba", "mk", "al", "md", "ge", "az", "kz", "uz",
+    "ad", "af", "ag", "ai", "ao", "aq", "as", "aw", "ax", "bb", "bf",
+    "bh", "bi", "bj", "bm", "bn", "bo", "bs", "bt", "bw", "bz", "cd",
+    "cf", "cg", "ci", "cm", "cr", "cv", "cw", "cx", "cy", "dj", "dm",
+    "do", "dz", "ec", "et", "fj", "ga", "gd", "gf", "gh", "gi", "gm",
+    "gn", "gp", "gq", "gs", "gt", "gu", "gw", "gy", "hm", "hn", "ht",
+    "iq", "ir", "jo", "kg", "ki", "km", "kn", "kp", "kw", "ky", "la",
+    "lb", "lc", "lk", "lr", "ls", "mc", "mg", "mh", "ml", "mn", "mo",
+    "mp", "mq", "mr", "ms", "mt", "mu", "mv", "mw", "mz", "na", "nc",
+    "ne", "nf", "ni", "nr", "nu", "om", "pa", "pf", "pn", "pr", "ps",
+    "pw", "py", "qa", "re", "rw", "sb", "sc", "sd", "sh", "sj", "sl",
+    "sm", "sn", "so", "sr", "ss", "st", "sv", "sx", "sy", "sz", "tc",
+    "td", "tf", "tg", "tj", "tk", "tl", "tm", "tn", "tt", "ug", "uy",
+    "vc", "vg", "vi", "vu", "wf", "ye", "yt", "zm", "zw",
     # multi-label (ICANN section)
     "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk", "sch.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -69,12 +83,28 @@ SUFFIXES: set[str] = {
     "amazonaws.com", "wordpress.com", "tumblr.com", "fastly.net",
 }
 
+# Wildcard (*.X) and exception (!Y) rules from the PSL's ICANN section
+# for the ccTLDs whose registries delegate at the second level — these
+# change F5 same-site filtering and fld-keyed joins, so the shipped
+# subset must carry them even before a full dat file is loaded.
+SHIPPED_WILDCARD: set[str] = {
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+}
+SHIPPED_EXCEPTION: set[str] = {
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+}
+
 # --- active rule sets (module state; executors rebuild it at import) ----
 # _PLAIN: plain rules ("co.uk"); _WILDCARD: base of "*.X" rules (the X);
 # _EXCEPTION: full host form of "!Y" rules (the Y, without the bang).
 _PLAIN: set[str] = set(SUFFIXES)
-_WILDCARD: set[str] = set()
-_EXCEPTION: set[str] = set()
+_WILDCARD: set[str] = set(SHIPPED_WILDCARD)
+_EXCEPTION: set[str] = set(SHIPPED_EXCEPTION)
 _MAX_SUFFIX_LABELS = max(s.count(".") for s in _PLAIN) + 1
 _LOADED_FROM: Optional[str] = None
 
@@ -114,15 +144,25 @@ def parse_psl(text: str) -> tuple[set[str], set[str], set[str]]:
 
 def load_psl(path: Optional[str] = None) -> int:
     """Load a full PSL dat file, REPLACING the shipped subset. Returns
-    the number of rules loaded. With ``path=None``, tries
-    ``$PYCRAWLER_PSL_PATH`` then common system locations; silently
-    keeps the shipped subset when nothing is found (returns 0)."""
+    the number of rules loaded. With ``path=None`` and no env var,
+    tries common system locations; silently keeps the shipped subset
+    when nothing is found (returns 0).
+
+    An explicitly-set ``PYCRAWLER_PSL_PATH`` is treated like an
+    explicit ``path`` argument: if that file is missing or unreadable
+    the call RAISES instead of silently keeping the subset. On a
+    cluster the env var reaches every executor, so a process where the
+    dat file was not shipped (``--files`` forgotten) fails fast at
+    import rather than silently computing fld/seen keys from the
+    subset while the driver uses the full list — a silent per-process
+    dedup-key divergence inside one job."""
     global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
+    env_path = os.environ.get("PYCRAWLER_PSL_PATH")
+    explicit = path or env_path
     candidates = (
-        [path]
-        if path
+        [explicit]
+        if explicit
         else [
-            os.environ.get("PYCRAWLER_PSL_PATH"),
             "/usr/share/publicsuffix/public_suffix_list.dat",
             "/etc/publicsuffix/public_suffix_list.dat",
         ]
@@ -137,15 +177,28 @@ def load_psl(path: Optional[str] = None) -> int:
             _LOADED_FROM = p
             _rebuild_bounds()
             return len(plain) + len(wild) + len(exc)
-    if path:
-        raise FileNotFoundError(path)
+    if explicit:
+        raise FileNotFoundError(
+            f"PSL file {explicit!r} (from "
+            f"{'PYCRAWLER_PSL_PATH' if not path else 'path argument'}) "
+            "is missing or empty — refusing the silent subset fallback; "
+            "ship the dat file (--files) or unset PYCRAWLER_PSL_PATH"
+        )
     return 0
+
+
+def psl_source() -> str:
+    """Provenance of the active rule set for job manifests/metrics:
+    the loaded dat path, or ``shipped-subset``."""
+    return _LOADED_FROM or "shipped-subset"
 
 
 def reset_psl() -> None:
     """Restore the shipped subset (test hook)."""
     global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
-    _PLAIN, _WILDCARD, _EXCEPTION = set(SUFFIXES), set(), set()
+    _PLAIN = set(SUFFIXES)
+    _WILDCARD = set(SHIPPED_WILDCARD)
+    _EXCEPTION = set(SHIPPED_EXCEPTION)
     _LOADED_FROM = None
     _rebuild_bounds()
 

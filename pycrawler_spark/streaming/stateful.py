@@ -62,15 +62,39 @@ FRONTIER_STREAM_SCHEMA = (
 )
 
 
-def _bucket_fn(refill: int, capacity: int, robots_bc):
-    """Build the per-host stateful kernel. ``robots_bc`` is a Spark
-    broadcast of the host->rules dict (or None): the closure carries
-    only the broadcast HANDLE, so each executor fetches the rules
-    table once via the torrent protocol instead of every task
-    deserializing a full copy from the pickled closure — at millions
-    of hosts the closure route would blow both driver memory and
-    per-task setup."""
-    import urllib.robotparser
+def robots_blocked_udf():
+    """Arrow-batched (url, rules) -> blocked predicate. Parsers are
+    cached per distinct rules body within a batch (hosts overwhelmingly
+    share a handful of robots templates), so the per-row cost is a
+    dict hit + prefix match."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def blocked(url: pd.Series, rules: pd.Series) -> pd.Series:
+        import urllib.robotparser
+
+        cache: dict = {}
+        out = []
+        for u, r in zip(url, rules):
+            if r is None or (isinstance(r, float) and pd.isna(r)):
+                out.append(False)
+                continue
+            p = cache.get(r)
+            if p is None:
+                p = urllib.robotparser.RobotFileParser()
+                p.parse(str(r).splitlines())
+                cache[r] = p
+            out.append(not p.can_fetch("*", u))
+        return pd.Series(out)
+
+    return blocked
+
+
+def _bucket_fn(refill: int, capacity: int):
+    """Build the per-host stateful kernel. Robots decisions arrive as
+    a precomputed ``blocked`` column (stream-static join upstream) —
+    the kernel itself holds no rules table, so neither the driver nor
+    any single executor ever materializes O(#hosts) state."""
 
     def fn(
         key: Tuple[Any, ...],
@@ -81,18 +105,12 @@ def _bucket_fn(refill: int, capacity: int, robots_bc):
         (tokens,) = state.get if state.exists else (0,)
         tokens = min(capacity, tokens + refill)
 
-        parser: Optional[urllib.robotparser.RobotFileParser] = None
-        rules = robots_bc.value.get(host) if robots_bc is not None else None
-        if rules is not None:
-            parser = urllib.robotparser.RobotFileParser()
-            parser.parse(str(rules).splitlines())
-
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("seq", kind="mergesort")
         granted, blocked, pos = [], [], []
         n_granted = 0
-        for u in rows["url"]:
-            if parser is not None and not parser.can_fetch("*", u):
+        for is_blocked in rows["blocked"]:
+            if bool(is_blocked):
                 blocked.append(True)
                 granted.append(False)
                 pos.append(-1)
@@ -148,14 +166,6 @@ def stream_schedule(
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
-    robots_bc = None
-    if robots is not None:
-        # collect once on the driver, ship via broadcast (not closure):
-        # the rules dict is a lookup table keyed by the GROUPING key,
-        # so a stream-static join would force a second shuffle of the
-        # frontier — broadcast keeps the single host-shuffle plan
-        rules = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
-        robots_bc = spark.sparkContext.broadcast(rules)
 
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
@@ -164,10 +174,29 @@ def stream_schedule(
         .parquet(frontier_dir)
         .filter(F.col("repetition") == 1)
     )
+    if robots is not None:
+        # stream-static LEFT join on host: the rules table stays a
+        # distributed DataFrame end-to-end — no driver collect, no
+        # monolithic broadcast (both are O(#hosts) memory on one
+        # process, multi-GB at the stated millions-of-hosts target).
+        # The join's host-hash partitioning is the SAME partitioning
+        # the stateful groupBy(host) needs, so the frontier still
+        # shuffles once; the rules column is consumed by the blocked
+        # predicate and dropped before the state operator.
+        rules = robots.select("host", F.col("rules").alias("_rules"))
+        stream = (
+            stream.join(rules, "host", "left")
+            .withColumn(
+                "blocked", robots_blocked_udf()(F.col("url"), F.col("_rules"))
+            )
+            .drop("_rules")
+        )
+    else:
+        stream = stream.withColumn("blocked", F.lit(False))
     scheduled = (
         stream.groupBy("host")
         .applyInPandasWithState(
-            _bucket_fn(refill, capacity, robots_bc),
+            _bucket_fn(refill, capacity),
             outputStructType=GRANT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

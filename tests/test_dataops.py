@@ -523,3 +523,65 @@ def test_hash_split_stable_and_complete(spark):
     big = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
     buckets = {r.bucket for r in hash_split(big).select("bucket").distinct().collect()}
     assert buckets == set(range(100)), sorted(set(range(100)) - buckets)
+
+
+def test_dup_clusters_long_chain_and_convergence_signal(spark):
+    """A 30-node path graph must converge well inside the default
+    round budget (pointer jumping: O(log diameter)), and a too-small
+    max_iters must raise instead of silently returning multi-canonical
+    clusters."""
+    import pytest as _pytest
+
+    from pycrawler_spark.operators.dedup import dup_clusters
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dup_clusters(nodes, pairs, max_iters=7).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(1 for r in out if r.is_canonical) == 1
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(nodes, pairs, max_iters=1)
+
+
+def test_media_real_kernels_when_pillow_present(spark):
+    """fake=False runs the Pillow image kernels when the library is
+    installed; otherwise decode failures surface as per-row error rows
+    (decode_ok=false), never a crashed batch — either way the Arrow
+    contract holds."""
+    from pycrawler_spark.operators import media as M
+
+    rows = [(1, "u1", "image", "image/png", b"not-a-real-png", {})]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, url string, kind string, content_type string, "
+        "payload binary, meta map<string,string>",
+    )
+    out = M.extract_features(df, fake=False).collect()[0]
+    if M.HAVE_PILLOW:
+        # corrupt payload -> error row, not an exception
+        assert out.decode_ok is False and "Error" in (out.decode_error or "")
+    else:
+        assert out.decode_ok is False
+        assert "NotImplementedError" in out.decode_error
+
+    if M.HAVE_PILLOW:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (40, 20), (10, 20, 30)).save(buf, format="PNG")
+        ok = spark.createDataFrame(
+            [(2, "u2", "image", "image/png", buf.getvalue(), {})],
+            "media_id long, url string, kind string, content_type string, "
+            "payload binary, meta map<string,string>",
+        )
+        feat = M.extract_features(ok, fake=False).collect()[0]
+        assert feat.decode_ok and (feat.width, feat.height) == (40, 20)
+        assert len(feat.feature) == M.FEATURE_DIM
+        res = M.resize(ok, 16, 16, fake=False).collect()[0]
+        assert res.resize_ok and max(res.width, res.height) <= 16

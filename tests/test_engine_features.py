@@ -289,3 +289,61 @@ def test_crawl_delay_caps_host_budget(spark):
     assert sorted(a[a.granted].seq) == [0, 1, 2, 3, 4]
     assert int(b.granted.sum()) == 12
     assert not a.blocked.any() and not b.blocked.any()
+
+
+def test_failed_wave_shuts_down_writer_pool(spark, tmp_path):
+    """An exception escaping the wave body must shut down the wave's
+    writer thread pool (cancelling queued jobs) before propagating, so
+    a manifest-replay retry never races orphan background writers on
+    the same wave directories."""
+    import pytest as _pytest
+
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=11, n_hosts=2, pages_per_host=4
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "job"), CrawlConfig(depth=1, max_urls=10),
+        job="poolfail",
+    )
+    eng.init_job(spark.read.parquet(seeds_p), pages_p)
+
+    seen_pools = []
+    orig = eng._run_wave_body
+
+    def failing_body(m, depth, pools):
+        try:
+            return orig(m, depth, pools)
+        finally:
+            seen_pools.extend(pools)
+            raise RuntimeError("injected wave failure")
+
+    eng._run_wave_body = failing_body
+    with _pytest.raises(RuntimeError, match="injected wave failure"):
+        eng.run()
+    assert seen_pools, "wave body never created a writer pool"
+    for pool in seen_pools:
+        # ThreadPoolExecutor._shutdown flips only via shutdown()
+        assert pool._shutdown, "writer pool left running after failure"
+
+
+def test_manifest_records_extraction_modes(spark, tmp_path):
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=13, n_hosts=2, pages_per_host=4
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "job"), CrawlConfig(depth=0, max_urls=5),
+        job="modes",
+    )
+    eng.init_job(spark.read.parquet(seeds_p), pages_p)
+    modes = eng._load_manifest()["extraction_modes"]
+    assert modes["tokenize"] in ("nltk-wordnet", "morphy-approx")
+    assert modes["meta_headers"] in ("bs4", "regex")
+    assert modes["psl"]  # shipped-subset or a dat path

@@ -247,3 +247,69 @@ def test_topk_is_take_ordered_not_global_window(spark):
         assert "Exchange SinglePartition" not in plan.split(
             "TakeOrderedAndProject"
         )[-1], plan
+
+
+def test_bucketed_corpus_join_has_no_corpus_exchange(spark, tmp_path):
+    """SCALE.md promises: store the corpus bucketed by the fetch-join
+    key and the above-broadcast-cap join co-locates — the corpus (the
+    100 TB side) must show NO shuffle Exchange; only the wave side
+    moves. Exercises the engine's table:<name> corpus source."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=5, n_hosts=4, pages_per_host=8
+    )
+    tbl = "corpus_bucketed_t"
+    (
+        spark.read.parquet(pages_p)
+        .write.bucketBy(8, "url")
+        .sortBy("url")
+        .option("path", str(tmp_path / "tbl"))
+        .saveAsTable(tbl)
+    )
+    try:
+        eng = CrawlEngine(
+            spark, str(tmp_path / "job"),
+            # cap 0 -> every wave takes the shuffle-join path
+            CrawlConfig(depth=1, max_urls=20, broadcast_wave_max_rows=0),
+            job="bucketed",
+        )
+        eng.init_job(spark.read.parquet(seeds_p), f"table:{tbl}")
+
+        # the exact join shape the wave builds: corpus scanned through
+        # the catalog, equi-join on the bucket key
+        pages = eng._read_pages().select(
+            F.col("url").alias("url_final"), "html"
+        )
+        wave = spark.read.parquet(seeds_p).select(
+            F.col("url").alias("url_final")
+        )
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(pages.join(wave, "url_final"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        # exactly one Exchange: the wave side. Zero would mean broadcast
+        # (test misconfigured); two would mean the corpus shuffled.
+        assert plan.count("Exchange") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+        # and the engine really crawls through the catalog table:
+        # same fetches as the parquet-path engine on the same corpus
+        eng.run()
+        eng2 = CrawlEngine(
+            spark, str(tmp_path / "job2"),
+            CrawlConfig(depth=1, max_urls=20), job="plainpath",
+        )
+        eng2.init_job(spark.read.parquet(seeds_p), pages_p)
+        eng2.run()
+        a = {(r.task_id, r.url, r.code)
+             for r in eng.table("fetches").collect()}
+        b = {(r.task_id, r.url, r.code)
+             for r in eng2.table("fetches").collect()}
+        assert a == b and a
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -146,3 +146,19 @@ def test_shingles():
     assert textkit.shingles("", k=3) == []
     # distinct + order-preserving
     assert textkit.shingles("x y x y x y", k=2) == ["x y", "y x"]
+
+
+def test_tokenize_mode_matches_nltk_availability():
+    """The fidelity mode is import-derived and auditable; the pinned
+    lemma assertions above hold under BOTH modes (WordNet maps those
+    words identically), so this suite passes wherever it runs."""
+    try:
+        import nltk  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert textkit.tokenize_mode() in ("nltk-wordnet", "morphy-approx")
+    if not have:
+        assert textkit.tokenize_mode() == "morphy-approx"
+    assert textkit.HAVE_NLTK == (textkit.tokenize_mode() == "nltk-wordnet")

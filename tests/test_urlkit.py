@@ -174,9 +174,9 @@ def test_load_psl_wildcard_and_exception(tmp_path):
         assert psl.fld("example.de") is None
     finally:
         psl.reset_psl()
-    # shipped subset restored
+    # shipped subset restored (which itself carries *.ck since r3)
     assert psl.fld("example.de") == "example.de"
-    assert psl.fld("bar.foo.ck") is None
+    assert psl.fld("bar.foo.ck") == "bar.foo.ck"
 
 
 def test_load_psl_missing_path_raises(tmp_path):
@@ -300,3 +300,41 @@ def test_normalize_identity_fast_shape_is_exact():
     ):
         assert urlkit._NORM_IDENTITY_RE.match(u)
         assert urlkit.normalize_url(u) == u == reference(u)
+
+
+def test_shipped_subset_carries_wildcard_and_exception_rules():
+    """The out-of-the-box rule set must already handle the exotic
+    registry shapes (publicsuffix2 semantics on the full list): *.ck
+    second-level delegation, the !www.ck carve-out, and the Japanese
+    city wildcard/exception pairs — they change F5 same-site filtering
+    and fld-keyed joins, so they can't wait for a deploy-time dat."""
+    from pycrawler_spark import psl
+
+    psl.reset_psl()
+    assert psl.fld("foo.co.uk") == "foo.co.uk"
+    assert psl.fld("a.b.foo.co.uk") == "foo.co.uk"
+    # *.ck: any <label>.ck is a public suffix...
+    assert psl.public_suffix("x.y.ck") == "y.ck"
+    assert psl.fld("x.y.ck") == "x.y.ck"
+    # ...so a bare two-label ck host is NOT registrable
+    assert psl.fld("y.ck") is None
+    # ...except www.ck, carved back out by the exception rule
+    assert psl.fld("www.ck") == "www.ck"
+    # jp city pairs: *.kawasaki.jp wildcard, !city.kawasaki.jp exception
+    assert psl.fld("a.b.kawasaki.jp") == "a.b.kawasaki.jp"
+    assert psl.fld("city.kawasaki.jp") == "city.kawasaki.jp"
+    assert psl.psl_source() == "shipped-subset"
+
+
+def test_env_psl_path_missing_fails_fast(tmp_path, monkeypatch):
+    """An explicitly-set PYCRAWLER_PSL_PATH pointing at a missing file
+    must raise — a process that silently fell back to the subset would
+    compute different fld/seen keys than its peers in the same job."""
+    import pytest as _pytest
+
+    from pycrawler_spark import psl
+
+    monkeypatch.setenv("PYCRAWLER_PSL_PATH", str(tmp_path / "gone.dat"))
+    with _pytest.raises(FileNotFoundError, match="PYCRAWLER_PSL_PATH"):
+        psl.load_psl()
+    psl.reset_psl()
