@@ -1382,6 +1382,207 @@ def _o45(cap: int = 512):
     """
 
 
+def _q46_boilerplate(spark, sf):
+    """CCNet-style boilerplate detection: 2-gram shingles shared by
+    >= 5 distinct docs of the same source are boilerplate; per-doc
+    span counts + ratio. The pre-masking signal a web-text curation
+    pass computes per host."""
+    from pycrawler_spark.operators.curation import boilerplate_shingle_stats
+
+    d = _t(spark, sf, "documents")
+    return boilerplate_shingle_stats(d, k=2, min_docs=5)
+
+
+def _o46(k: int = 2, min_docs: int = 5):
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+        list_transform(range(greatest(len(string_split(text,' ')) - {k}, 0) + 1),
+          i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{k}), ' '))
+      )) AS shingle
+      FROM documents
+    ), b AS (
+      SELECT source, shingle FROM sh
+      GROUP BY source, shingle HAVING count(DISTINCT doc_id) >= {min_docs}
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), nb AS (
+      SELECT sh.doc_id, count(*) AS n_boiler
+      FROM sh JOIN b USING (source, shingle) GROUP BY sh.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(coalesce(n_boiler, 0) * 1.0 / n_shingles, 4) AS boiler_ratio
+    FROM tot t LEFT JOIN nb USING (doc_id)
+    """
+
+
+_BM25_TERMS = ["spark", "shuffle", "window"]
+
+
+def _q47_bm25(spark, sf):
+    """BM25 relevance of a fixed 3-term query over documents —
+    targeted-subset retrieval / topical quality prior. Pure relational
+    (tf x broadcast df x broadcast corpus stats)."""
+    from pycrawler_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(_t(spark, sf, "documents"), _BM25_TERMS)
+
+
+def _o47():
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words
+      WHERE w IN ({terms}) GROUP BY doc_id, w
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), dft AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+             * (tf * 2.2e0)
+             / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dft USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """
+
+
+def _q48_ngram_repetition(spark, sf):
+    """Gopher n-gram repetition signals (top-bigram share, duplicated
+    -trigram fraction) — the companion to q41's word-level rules."""
+    from pycrawler_spark.operators.quality import ngram_repetition_stats
+
+    return ngram_repetition_stats(_t(spark, sf, "documents"))
+
+
+def _o48():
+    def grams(n):
+        return (
+            f"unnest(list_transform(range(greatest(len(string_split(text,' ')) - {n}, 0) + 1), "
+            f"i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{n}), ' ')))"
+        )
+
+    return f"""
+    WITH bi AS (SELECT doc_id, {grams(2)} AS gram FROM documents),
+    bic AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+    bis AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top FROM bic GROUP BY doc_id),
+    tri AS (SELECT doc_id, {grams(3)} AS gram FROM documents),
+    tric AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2),
+    tris AS (SELECT doc_id,
+                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup
+             FROM tric GROUP BY doc_id)
+    SELECT doc_id, round(top, 4) AS top_bigram_share,
+           round(dup, 4) AS dup_trigram_frac
+    FROM bis JOIN tris USING (doc_id)
+    """
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+
+
+def _q49_stratified_sample(spark, sf):
+    """Deterministic stratified sampling by salted id hash: 50% of en,
+    25% of de, 10% of everything else — the language-rebalancing step
+    of a pre-training mix, stable across reprocessing runs."""
+    from pycrawler_spark.operators.curation import hash_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_sample(d, _SAMPLE_RATES, default_rate=0.1).select(
+        "doc_id", "lang"
+    )
+
+
+def _o49():
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * 1000)}"
+        for g, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000 < CASE lang {cases} ELSE 100 END
+    """
+
+
+def _q50_fuzzy_decontaminate(spark, sf):
+    """Fuzzy benchmark decontamination: MinHash-band overlap between
+    training docs and the benchmark stand-in (docs 0-4, as in q44) —
+    catches paraphrased leaks the exact n-gram protocol (q44) misses."""
+    from pycrawler_spark.operators.curation import fuzzy_decontaminate
+
+    d = _t(spark, sf, "documents")
+    return fuzzy_decontaminate(d, d.filter(F.col("doc_id") < 5))
+
+
+def _o50():
+    from pycrawler_spark.operators.dedup import DEFAULT_SALTS
+
+    mins = ", ".join(
+        f"min(md5('{s}' || w)) AS m{i}" for i, s in enumerate(DEFAULT_SALTS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, m{i} AS v FROM sig"
+        for i in range(len(DEFAULT_SALTS))
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), sig AS (
+      SELECT doc_id, {mins} FROM words GROUP BY doc_id
+    ), bands AS ({bands}),
+    hits AS (
+      SELECT d.doc_id, count(DISTINCT d.band) AS n_hit_bands
+      FROM bands d
+      JOIN (SELECT DISTINCT band, v FROM bands WHERE doc_id < 5) b
+        USING (band, v)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(coalesce(n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(n_hit_bands, 0) > 0 AS contaminated_fuzzy
+    FROM (SELECT doc_id FROM documents) LEFT JOIN hits USING (doc_id)
+    """
+
+
+def _q51_host_quality_rollup(spark, sf):
+    """Per-(source, lang) corpus audit: doc counts, mean length, and
+    quality-gate pass rate — the table a curation run reads to keep,
+    reweight, or drop domains."""
+    from pycrawler_spark.operators.quality import group_quality_rollup
+
+    return group_quality_rollup(_t(spark, sf, "documents"))
+
+
+def _o51(min_words: int = 20, min_uniq: float = 0.2):
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, lang,
+             count(*) AS n_words, count(DISTINCT w) AS n_uniq
+      FROM (SELECT doc_id, source, lang,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, source, lang
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           round(avg(n_words), 2) AS avg_words,
+           round(avg(CASE WHEN n_words >= {min_words}
+                           AND n_uniq * 1.0 / n_words >= {min_uniq}
+                     THEN 1e0 ELSE 0e0 END), 4) AS pass_rate
+    FROM per_doc GROUP BY source, lang
+    """
+
+
 # --- crawl / ANN / media queries (oracled since round 3) --------------------
 
 def _q_media_features(spark, sf):
@@ -1695,6 +1896,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_hash_split": _q43_hash_split,
     "q44_decontaminate": _q44_decontaminate,
     "q45_pack_sequences": _q45_pack_sequences,
+    "q46_boilerplate": _q46_boilerplate,
+    "q47_bm25": _q47_bm25,
+    "q48_ngram_repetition": _q48_ngram_repetition,
+    "q49_stratified_sample": _q49_stratified_sample,
+    "q50_fuzzy_decontaminate": _q50_fuzzy_decontaminate,
+    "q51_host_quality_rollup": _q51_host_quality_rollup,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1747,6 +1954,12 @@ _ORACLES: dict[str, str] = {
     "q43_hash_split": _o43(),
     "q44_decontaminate": _o44(),
     "q45_pack_sequences": _o45(),
+    "q46_boilerplate": _o46(),
+    "q47_bm25": _o47(),
+    "q48_ngram_repetition": _o48(),
+    "q49_stratified_sample": _o49(),
+    "q50_fuzzy_decontaminate": _o50(),
+    "q51_host_quality_rollup": _o51(),
     "media_features": _o_media(),
     "ann_lsh_topk": _o_ann_lsh(),
     "ann_ivf_topk": _o_ann_ivf(),

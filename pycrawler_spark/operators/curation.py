@@ -86,6 +86,130 @@ def decontaminate(
     )
 
 
+def boilerplate_shingle_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 2,
+    min_docs: int = 5,
+) -> DataFrame:
+    """CCNet-style boilerplate detection, shingle form: a k-gram that
+    appears in >= ``min_docs`` distinct documents of the SAME group
+    (source/host) is boilerplate (nav bars, footers, legal blurbs —
+    the spans that repeat across one site's pages). Returns per-doc
+    (n_shingles, n_boiler, boiler_ratio) for filtering or masking.
+
+    Shuffle shape: shingles reduce to md5 keys before the
+    (group, shingle-hash) count — the exchange carries 16-byte keys,
+    never span text; the boiler set is rejoined on the same key.
+    """
+    from pycrawler_spark.operators.dedup import shingle
+
+    sh = (
+        shingle(docs, text_col, id_col, k=k)
+        .join(docs.select(id_col, group_col), id_col)
+        .select(id_col, group_col, F.md5("shingle").alias("sh"))
+    )
+    boiler = (
+        sh.groupBy(group_col, "sh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select(group_col, "sh")
+    )
+    tot = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    nb = (
+        sh.join(boiler, [group_col, "sh"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        tot.join(nb, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its salted id
+    hash lands under the group's rate (per-mille resolution). Stable
+    across runs/engines like hash_split — reprocessing a grown corpus
+    keeps every previously-sampled document — and the salt decorrelates
+    it from hash_split's bucket, so sampling never biases a split.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"),
+                                          F.col(id_col).cast("string"))),
+                           1, 8), 16, 10).cast("long") % 1000
+    )
+    rate_col = F.lit(int(default_rate * 1000))
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(
+            F.col(group_col) == g, F.lit(int(r * 1000))
+        ).otherwise(rate_col)
+    return df.withColumn("_b", bucket).filter(F.col("_b") < rate_col).drop("_b")
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate benchmark contamination (the n-gram-overlap
+    protocol of :func:`decontaminate` catches verbatim leaks; this
+    catches PARAPHRASED ones): a training doc whose MinHash signature
+    shares any band with any benchmark doc is flagged. Returns
+    (id_col, n_hit_bands, contaminated_fuzzy).
+
+    Plan shape: benchmark signatures are eval-set-sized -> broadcast;
+    the corpus side computes signatures in one explode+agg and joins
+    on (band_id, band_value) without shuffling documents.
+    """
+    from pycrawler_spark.operators.dedup import DEFAULT_SALTS, minhash_signatures
+
+    salts = list(DEFAULT_SALTS)
+    sig_d = minhash_signatures(docs, text_col, id_col, salts=salts)
+    sig_b = minhash_signatures(benchmark, text_col, id_col, salts=salts)
+
+    def bands(sig: DataFrame, out_id: str) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("v"))
+            for i in range(len(salts))
+        ])
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(pairs).alias("b")
+        ).select(out_id, F.col("b.band").alias("band"), F.col("b.v").alias("v"))
+
+    hits = (
+        bands(sig_d, "d_id")
+        .join(F.broadcast(bands(sig_b, "b_id")), ["band", "v"])
+        .groupBy("d_id")
+        .agg(F.countDistinct("band").alias("n_hit_bands"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits.withColumnRenamed("d_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_bands", F.lit(0)).cast("long").alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) > 0).alias("contaminated_fuzzy"),
+        )
+    )
+
+
 PACK_SCHEMA = "doc_id long, lang string, n_tokens long, pack_id long"
 
 

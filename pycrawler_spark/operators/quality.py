@@ -1,0 +1,104 @@
+"""Relational text-quality operators (training-data pipeline,
+beyond-reference surface) — the repetition and rollup signals a
+web-text curation pass computes alongside the Gopher word-level rules
+(see ``_q41_gopher_quality`` in the entry contract).
+
+Everything here is pure JVM column algebra (explode + aggregations):
+no Python touches a row, every shuffle is keyed by (doc_id) or
+(group), and the text column never leaves the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _gram_occurrences(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """All n-gram OCCURRENCES per doc (non-distinct, unlike
+    dedup.shingle): one row per position."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return docs.select(id_col, F.explode(grams).alias("gram"))
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals, token-occurrence form:
+
+    * ``top_bigram_share`` — fraction of bigram occurrences taken by
+      the single most frequent bigram (Gopher's "fraction in the most
+      frequent 2-gram", over occurrences instead of characters —
+      documented simplification, monotone in the same signal),
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once in the document (Gopher's
+      "fraction in duplicated n-grams").
+
+    Shuffle shape: two (doc_id, md5(gram)) aggregations — the gram
+    text itself reduces to a 16-byte key before any exchange.
+    """
+    bi = _gram_occurrences(docs, 2, text_col, id_col)
+    bi_cnt = bi.groupBy(id_col, F.md5("gram").alias("g")).agg(
+        F.count("*").alias("c")
+    )
+    bi_stats = bi_cnt.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("_top_share")
+    )
+    tri = _gram_occurrences(docs, 3, text_col, id_col)
+    tri_cnt = tri.groupBy(id_col, F.md5("gram").alias("g")).agg(
+        F.count("*").alias("c")
+    )
+    tri_stats = tri_cnt.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c")
+        ).alias("_dup_frac")
+    )
+    return bi_stats.join(tri_stats, id_col).select(
+        id_col,
+        F.round("_top_share", 4).alias("top_bigram_share"),
+        F.round("_dup_frac", 4).alias("dup_trigram_frac"),
+    )
+
+
+def group_quality_rollup(
+    docs: DataFrame,
+    group_cols=("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_uniq_ratio: float = 0.2,
+) -> DataFrame:
+    """Per-(source, lang) corpus audit: document counts, mean length,
+    and the pass rate of the cheap quality gate (n_words >= min_words
+    AND unique-word ratio >= min_uniq_ratio). The table a curation run
+    reads to decide which domains to keep, reweight, or drop.
+
+    One explode + two aggregations; the final rollup is
+    |groups|-sized.
+    """
+    words = docs.select(
+        id_col, *group_cols,
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    per_doc = words.groupBy(id_col, *group_cols).agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_uniq"),
+    )
+    passes = (F.col("n_words") >= min_words) & (
+        (F.col("n_uniq") / F.col("n_words")) >= min_uniq_ratio
+    )
+    return per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+        F.round(
+            F.avg(F.when(passes, 1.0).otherwise(0.0)), 4
+        ).alias("pass_rate"),
+    )

@@ -585,3 +585,111 @@ def test_media_real_kernels_when_pillow_present(spark):
         assert len(feat.feature) == M.FEATURE_DIM
         res = M.resize(ok, 16, 16, fake=False).collect()[0]
         assert res.resize_ok and max(res.width, res.height) <= 16
+
+
+def test_boilerplate_shingle_stats(spark):
+    from pycrawler_spark.operators.curation import boilerplate_shingle_stats
+
+    # hostA: 3 docs share the "nav bar" 2-gram; hostB: no repetition
+    rows = [
+        (1, "nav bar alpha beta", "hostA"),
+        (2, "nav bar gamma delta", "hostA"),
+        (3, "nav bar epsilon zeta", "hostA"),
+        (4, "unique words only here", "hostB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in
+           boilerplate_shingle_stats(df, k=2, min_docs=3).collect()}
+    assert out[1].n_boiler == 1 and out[1].boiler_ratio > 0
+    assert out[4].n_boiler == 0 and out[4].boiler_ratio == 0.0
+    # the shared span counts once per doc (shingles are distinct)
+    assert out[2].n_shingles == 3
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from pycrawler_spark.operators.curation import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    a = {r.doc_id for r in hash_sample(df, {"en": 0.5, "de": 0.1}).collect()}
+    b = {r.doc_id for r in hash_sample(df, {"en": 0.5, "de": 0.1}).collect()}
+    assert a == b  # deterministic
+    en = sum(1 for i in a if i % 2 == 0) / 1000
+    de = sum(1 for i in a if i % 2 == 1) / 1000
+    assert 0.4 < en < 0.6 and 0.05 < de < 0.16
+    # subset stability: raising a rate only ADDS docs, never drops
+    bigger = {r.doc_id for r in
+              hash_sample(df, {"en": 0.8, "de": 0.1}).collect()}
+    assert a <= bigger
+
+
+def test_fuzzy_decontaminate_flags_near_dups(spark):
+    from pycrawler_spark.operators.curation import fuzzy_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris obviously"),   # verbatim
+            (2, "paris is obviously the capital of france"),   # same word set
+            (3, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in fuzzy_decontaminate(docs, bench).collect()}
+    assert out[1].contaminated_fuzzy and out[1].n_hit_bands == 8
+    assert out[2].contaminated_fuzzy  # word-set minhash: same set -> same sig
+    assert not out[3].contaminated_fuzzy
+
+
+def test_bm25_scores_ranking(spark):
+    from pycrawler_spark.operators.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle join"),
+            (2, "spark join filter scan table"),
+            (3, "no relevant terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in
+           bm25_scores(docs, ["spark", "shuffle"]).collect()}
+    assert 3 not in out              # zero-term docs absent
+    assert out[1] > out[2] > 0       # tf + extra term dominate
+
+
+def test_ngram_repetition_stats(spark):
+    from pycrawler_spark.operators.quality import ngram_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),            # one bigram dominates
+            (2, "w x y z p q r s"),            # all bigrams unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_repetition_stats(docs).collect()}
+    assert out[1].top_bigram_share > 0.5
+    assert out[1].dup_trigram_frac == 1.0
+    assert out[2].top_bigram_share < 0.2
+    assert out[2].dup_trigram_frac == 0.0
+
+
+def test_group_quality_rollup(spark):
+    from pycrawler_spark.operators.quality import group_quality_rollup
+
+    good = "one " + " ".join(f"w{i}" for i in range(30))
+    bad = "x x x"
+    docs = spark.createDataFrame(
+        [(1, good, "s1", "en"), (2, bad, "s1", "en"), (3, good, "s2", "de")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {(r.source, r.lang): r for r in group_quality_rollup(docs).collect()}
+    assert out[("s1", "en")].n_docs == 2
+    assert out[("s1", "en")].pass_rate == 0.5
+    assert out[("s2", "de")].pass_rate == 1.0

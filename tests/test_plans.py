@@ -313,3 +313,17 @@ def test_bucketed_corpus_join_has_no_corpus_exchange(spark, tmp_path):
         assert a == b and a
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_new_curation_ops_broadcast_small_sides(spark):
+    """BM25 broadcasts the term-df and corpus-stats sides; fuzzy
+    decontamination broadcasts the benchmark band table — the corpus
+    side must never shuffle for metadata-sized inputs."""
+    import __spark_entry__ as E
+
+    bm25 = _plan(E.queries()["q47_bm25"](spark, SF))
+    assert bm25.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in bm25 or bm25.count("BroadcastHashJoin") >= 2
+
+    fuzzy = _plan(E.queries()["q50_fuzzy_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in fuzzy
