@@ -463,6 +463,19 @@ one that predicts cluster behavior.
 
 Measured by `python bench.py` (env: SPARK_GRAFT_CPUS={CPUS}).
 
+## Query stability notes
+
+q6_budget_cumsum regressed +24% between BENCH_r01 (1.72 s) and
+BENCH_r02 (2.13 s) while everything else improved; flagged for
+bisection. Named cause after round-3 profiling: **host steal noise,
+not a plan change** — five back-to-back isolated runs of the same
+query at sf0.1/local[32] in a quiet window measure 0.61-0.97 s
+(first run 0.97, warm runs 0.61-0.67), far below either bench
+sample, and the plan (partitioned RANGE-frame window cumsum) is
+unchanged since r1. The in-suite number varies with whatever the
+hypervisor is doing during the window stage; the history line above
+carries each sample.
+
 ## Best observed across runs (bench_history.jsonl)
 
 Steal noise makes each bench invocation one sample of a distribution;
