@@ -63,6 +63,84 @@ def watch_seeds(
     return writer.trigger(processingTime="60 seconds").start()
 
 
+def stream_crawl(
+    engine: CrawlEngine,
+    checkpoint: Optional[str] = None,
+) -> list:
+    """The wave loop as a Structured Streaming query (north rule:
+    "fetch-wave batches emitted as Structured Streaming micro-batches")
+    — the engine's OWN frontier delta log is the stream source, so the
+    crawl is self-feeding: micro-batch N's new frontier files are
+    exactly the input universe of wave N+1, whose inserts become
+    micro-batch N+1. The stream's offset log (checkpointLocation)
+    complements the engine manifest: a restarted query re-enters at
+    the first unprocessed delta and the wave replay is idempotent
+    (same exactly-once argument as resume(), crawl.py module doc).
+
+    Each micro-batch advances the manifest until new frontier rows
+    were inserted (those files wake the next batch) or the crawl
+    completes; politeness sub-waves that insert nothing are run
+    inline, because no file would arrive to wake them. Terminates via
+    ``processAllAvailable`` — the call returns exactly when a wave
+    stops producing new deltas.
+
+    Returns the per-wave stats list (same shape as ``run()``).
+    """
+    spark = engine.spark
+    state = {"depth": 0, "stats": []}
+
+    def advance() -> None:
+        while state["depth"] <= engine.cfg.depth:
+            m = engine._load_manifest()
+            stats = engine._run_wave(m, state["depth"])
+            atomic = not (engine.cfg.politeness or engine.cfg.obey_robots)
+            if stats.get("exhausted"):
+                state["depth"] += 1
+                continue
+            state["stats"].append(stats)
+            if atomic:
+                state["depth"] += 1  # one wave fetches the whole depth
+            if stats.get("inserted", 0) > 0:
+                return  # the new frontier delta triggers the next batch
+
+    # initial kick OUTSIDE the stream: covers (a) the wave-0 seed
+    # files having been consumed by a previous incarnation's offsets
+    # and (b) a crash between offset commit and wave completion — the
+    # kick runs the pending wave, and ITS inserts are new files the
+    # stream has provably never seen.
+    advance()
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch rows are the just-inserted frontier delta; the
+        # manifest (not the batch) is the source of truth for which
+        # wave runs — that is what makes replay after a crash safe.
+        advance()
+
+    stream = (
+        spark.readStream.schema(
+            "task_id long, url string, url_norm string, host string, "
+            "depth int, repetition int, seq long, from_url string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(engine.workdir, "frontier"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(engine.workdir, "_wave_stream_ckpt"),
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["stats"]
+
+
 def stream_fetch_metrics(
     spark: SparkSession,
     workdir: str,

@@ -693,3 +693,78 @@ def test_group_quality_rollup(spark):
     assert out[("s1", "en")].n_docs == 2
     assert out[("s1", "en")].pass_rate == 0.5
     assert out[("s2", "de")].pass_rate == 1.0
+
+
+def test_stream_crawl_matches_batch_run(spark, tmp_path):
+    """The Structured-Streaming wave loop (frontier log as the stream
+    source, one wave per micro-batch) must produce EXACTLY the fetch
+    rows of the batch driver loop on the same corpus, and terminate by
+    itself when the frontier stops growing."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.streaming.stream import stream_crawl
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=21, n_hosts=4, pages_per_host=8,
+        mega_factor=2,
+    )
+
+    def fetches(eng):
+        rows = eng.table("fetches").select(
+            "task_id", "url", "url_norm", "depth", "seq", "code",
+            "body_sha256",
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    cfg = dict(depth=2, max_urls=12)
+    batch = CrawlEngine(
+        spark, str(tmp_path / "batch"), CrawlConfig(**cfg), job="b"
+    )
+    batch.init_job(spark.read.parquet(seeds_p), pages_p)
+    batch_stats = batch.run()
+
+    stream = CrawlEngine(
+        spark, str(tmp_path / "stream"), CrawlConfig(**cfg), job="b"
+    )
+    stream.init_job(spark.read.parquet(seeds_p), pages_p)
+    stream_stats = stream_crawl(stream)
+
+    assert fetches(stream) == fetches(batch)
+    assert [s["scheduled"] for s in stream_stats] == [
+        s["scheduled"] for s in batch_stats
+    ]
+    # a second invocation is a no-op (crawl complete, offsets advanced)
+    assert stream_crawl(stream) == []
+
+
+def test_stream_crawl_politeness_subwaves(spark, tmp_path):
+    """Politeness mode splits a depth into sub-waves, most of which
+    insert no frontier rows — the streaming loop must run those inline
+    (no file would arrive to wake it) and still match the batch run."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.streaming.stream import stream_crawl
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=23, n_hosts=3, pages_per_host=6,
+    )
+    cfg = dict(depth=1, max_urls=10, politeness=True,
+               wave_interval_ms=18_000)  # budget = 18000/6000 = 3/host/wave
+
+    def run(tag, streaming):
+        eng = CrawlEngine(
+            spark, str(tmp_path / tag), CrawlConfig(**cfg), job="p"
+        )
+        eng.init_job(spark.read.parquet(seeds_p), pages_p)
+        stats = stream_crawl(eng) if streaming else eng.run()
+        rows = eng.table("fetches").select(
+            "task_id", "url", "depth", "code"
+        ).collect()
+        return stats, sorted(tuple(r) for r in rows)
+
+    bs, bf = run("batch", False)
+    ss, sf_ = run("stream", True)
+    assert sf_ == bf
+    assert len(ss) == len(bs) and len(ss) > 2  # really multiple sub-waves
