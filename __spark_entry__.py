@@ -1583,6 +1583,71 @@ def _o51(min_words: int = 20, min_uniq: float = 0.2):
     """
 
 
+def _q52_asof_join(spark, sf):
+    """As-of join (an operator Spark lacks natively, named in the task
+    brief): each purchase gets the user's most recent click at or
+    before it. Composed as union + one sorted window per user key —
+    ONE shuffle, no conditional join (operators/temporal.py)."""
+    from pycrawler_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, by="user_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_click_id").alias("click_id"),
+        F.round("r_click_value", 4).alias("click_value"),
+    )
+
+
+def _o52():
+    return """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_id, round(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+def _q53_range_join(spark, sf):
+    """Bucketed range join (the brief's other named gap operator):
+    clicks falling inside any same-user error window [ts, ts+1h].
+    Both sides meet on a (user, coarse-time-bucket) EQUI-join before
+    the exact BETWEEN filter — never a conditional-join cross product
+    (operators/temporal.py)."""
+    from pycrawler_spark.operators.temporal import range_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    return range_join(clicks, windows, by="user_id", bucket_seconds=600)
+
+
+def _o53():
+    return """
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS start_ts, e.ts + INTERVAL 1 HOUR AS end_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
+    """
+
+
 # --- crawl / ANN / media queries (oracled since round 3) --------------------
 
 def _q_media_features(spark, sf):
@@ -1902,6 +1967,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_stratified_sample": _q49_stratified_sample,
     "q50_fuzzy_decontaminate": _q50_fuzzy_decontaminate,
     "q51_host_quality_rollup": _q51_host_quality_rollup,
+    "q52_asof_join": _q52_asof_join,
+    "q53_range_join": _q53_range_join,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -1960,6 +2027,8 @@ _ORACLES: dict[str, str] = {
     "q49_stratified_sample": _o49(),
     "q50_fuzzy_decontaminate": _o50(),
     "q51_host_quality_rollup": _o51(),
+    "q52_asof_join": _o52(),
+    "q53_range_join": _o53(),
     "media_features": _o_media(),
     "ann_lsh_topk": _o_ann_lsh(),
     "ann_ivf_topk": _o_ann_ivf(),

@@ -54,7 +54,7 @@ HEADLINE = [
     "q1_lineitem_agg", "q3_revenue_by_nation", "q6_budget_cumsum",
     "q11_minhash_signatures", "q12_minhash_dup_pairs", "q14_simhash16",
     "q15_embedding_topk", "q16_langid", "q18_token_counts",
-    "q20_url_normalize",
+    "q20_url_normalize", "q46_boilerplate", "q47_bm25",
 ]
 
 

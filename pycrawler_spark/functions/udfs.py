@@ -238,6 +238,77 @@ def page_features_resolve_udf(
     )
 
 
+# Slim variant: the candidate pipeline (operators/links.py) touches
+# exactly these six fields — scheme/origin/fld for F3-F5, url_full/
+# norm/host for the frontier row. netloc/path/query/fragment/suffix
+# are substrings of url_full (or derivable), so shipping them through
+# Arrow and the explode doubles the per-link payload for nothing. The
+# full struct is kept for jobs with F6 url_filters registered (a
+# pluggable predicate may reference any field).
+SLIM_LINK_STRUCT = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("fld", T.StringType()),
+        T.StructField("origin", T.StringType()),
+        T.StructField("url_full", T.StringType()),
+        T.StructField("norm", T.StringType()),
+    ]
+)
+
+PAGE_FEATURES_LINKS_SLIM_STRUCT = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("meta_headers", T.ArrayType(T.StringType())),
+        T.StructField("has_login_form", T.BooleanType()),
+        T.StructField("has_cookie_banner", T.BooleanType()),
+        T.StructField("links", T.ArrayType(SLIM_LINK_STRUCT)),
+    ]
+)
+
+_NULL_SLIM_LINK = (None,) * len(SLIM_LINK_STRUCT.fields)
+
+
+@pandas_udf(PAGE_FEATURES_LINKS_SLIM_STRUCT)
+def page_features_resolve_slim_udf(
+    html: pd.Series, base_urls: pd.Series
+) -> pd.DataFrame:
+    """page_features_resolve_udf with the slim link struct. Same fused
+    single Python pass, same positional parity invariant (unresolvable
+    hrefs stay as all-null entries)."""
+    texts, metas, logins, cookies, linkss = [], [], [], [], []
+    for h, base in zip(html, base_urls):
+        t, m, lg, ck, hr = htmlkit.page_features(h, True)
+        texts.append(t)
+        metas.append(m)
+        logins.append(lg)
+        cookies.append(ck)
+        p = urlkit.parse_url(base) if base is not None else None
+        links = []
+        for href in hr or []:
+            r = urlkit.url_from_href(href, p) if p is not None else None
+            if r is None:
+                links.append(_NULL_SLIM_LINK)
+            else:
+                full = urlkit.url_str_with_query_fragment(r)
+                links.append(
+                    (
+                        r.scheme, r.host, r.fld, urlkit.url_origin(r),
+                        full, urlkit.normalize_url(full),
+                    )
+                )
+        linkss.append(links)
+    return pd.DataFrame(
+        {
+            "extracted_text": texts,
+            "meta_headers": metas,
+            "has_login_form": logins,
+            "has_cookie_banner": cookies,
+            "links": linkss,
+        }
+    )
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     """F1 link extraction: a[href] values in document order

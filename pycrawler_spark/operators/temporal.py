@@ -1,0 +1,125 @@
+"""Temporal join operators Spark lacks natively — as-of join and
+range join — composed from built-in DataFrame ops (the brief's
+preferred strategy: composition first, Pandas kernels only when
+semantics demand).
+
+Both are staples of event-log analytics over the crawl/event tables:
+"which page-load state was current when this click happened" (as-of),
+"which events fall inside each incident window" (range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols=None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right.ts <= left.ts`` within the same ``by`` key (DuckDB/kdb
+    ASOF JOIN semantics; ties at equal timestamps match).
+
+    Spark-first plan: instead of a per-row subquery or an O(n*m)
+    conditional join, both sides are UNIONED and sorted once per key —
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    window carries the most recent right-side values forward onto
+    each left row. ONE shuffle keyed by ``by``; cost is a sort per
+    key group, independent of how far back the match lies. Right rows
+    order BEFORE left rows at equal timestamps (side flag in the sort
+    key) so the tie matches, exactly like ASOF JOIN.
+
+    Returns all left columns plus ``value_cols`` (default: every
+    non-key right column) with ``r_`` prefix (null when no right row
+    precedes the left row).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, right_ts)]
+    l_tag = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *left.columns, *[f"r_{c}" for c in value_cols]
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: str,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``start <= point <= end``) within the same ``by`` key — the
+    bucketed range join.
+
+    Spark's naive plan for a BETWEEN join is a conditional join that
+    degenerates toward per-key cross products. Here both sides explode
+    onto coarse time buckets (intervals onto every bucket they
+    overlap) and meet on a (key, bucket) EQUI-join; the exact BETWEEN
+    predicate then filters the bucket-local candidates. Shuffle is
+    keyed by (key, bucket) — skew-bounded by bucket width — and each
+    candidate pair is bucket-co-resident, never all-pairs.
+    ``bucket_seconds`` trades bucket fan-out (long intervals explode
+    onto more buckets) against candidate density; intervals are
+    assumed MUCH rarer than points (incident windows vs event logs),
+    so the interval-side explosion is the cheap side.
+
+    Result: one row per (point, containing interval), point columns
+    plus ``start_col``/``end_col``.
+    """
+    bsec = F.lit(bucket_seconds)
+    p = points.withColumn(
+        "_b", (F.unix_timestamp(F.col(point_ts)) / bsec).cast("long")
+    )
+    iv = intervals.select(
+        F.col(by).alias("_ik"),
+        start_col,
+        end_col,
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bsec).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bsec).cast("long"),
+            )
+        ).alias("_b"),
+    )
+    joined = p.join(
+        iv,
+        (p[by] == iv["_ik"]) & (p["_b"] == iv["_b"]),
+    ).filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.select(*points.columns, start_col, end_col)

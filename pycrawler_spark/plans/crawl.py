@@ -747,11 +747,24 @@ class CrawlEngine:
         # is pure JVM — no second Python stage over every discovered
         # link. The final depth collects no links -> skip both.
         collect_links = depth < cfg.depth and cfg.recursive
-        pf_col = (
-            page_features_resolve_udf(F.col("html"), F.col("url_final"))
-            if collect_links
-            else page_features_nolinks_udf(F.col("html"))
-        )
+        if collect_links:
+            # slim struct (6 fields) unless F6 url_filters are
+            # registered — a pluggable predicate may reference any URL
+            # component, so only then ship the full 11-field struct
+            # through Arrow and the explode (links are the wave's
+            # biggest intermediate).
+            from pycrawler_spark.functions.udfs import (
+                page_features_resolve_slim_udf,
+            )
+
+            resolve = (
+                page_features_resolve_udf
+                if self.url_filters
+                else page_features_resolve_slim_udf
+            )
+            pf_col = resolve(F.col("html"), F.col("url_final"))
+        else:
+            pf_col = page_features_nolinks_udf(F.col("html"))
         joined = pages.join(wave_b, "url_final", "inner")
         if n_sched < cfg.udf_balance_max_rows:
             # balance the Python-heavy extraction stage for small

@@ -768,3 +768,93 @@ def test_stream_crawl_politeness_subwaves(spark, tmp_path):
     ss, sf_ = run("stream", True)
     assert sf_ == bf
     assert len(ss) == len(bs) and len(ss) > 2  # really multiple sub-waves
+
+
+def test_stream_crawl_resumes_partial_crawl(spark, tmp_path):
+    """stream_crawl entering a job that already ran some waves (e.g.
+    after a driver crash) must complete the remaining waves via the
+    initial out-of-stream kick, ending with the same fetch rows as an
+    uninterrupted batch run."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+    from pycrawler_spark.streaming.stream import stream_crawl
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=37, n_hosts=3, pages_per_host=6,
+    )
+    cfg = dict(depth=2, max_urls=10)
+
+    full = CrawlEngine(
+        spark, str(tmp_path / "full"), CrawlConfig(**cfg), job="j"
+    )
+    full.init_job(spark.read.parquet(seeds_p), pages_p)
+    full.run()
+
+    part = CrawlEngine(
+        spark, str(tmp_path / "part"), CrawlConfig(**cfg), job="j"
+    )
+    part.init_job(spark.read.parquet(seeds_p), pages_p)
+    part._run_wave(part._load_manifest(), 0)   # wave 1 only, then "crash"
+
+    resumed = CrawlEngine(
+        spark, str(tmp_path / "part"), CrawlConfig(**cfg), job="j"
+    )
+    resumed.resume()
+    stats = stream_crawl(resumed)
+    # depth 0 was already fetched; the stream runs depths 1..2
+    assert {s["depth"] for s in stats} == {1, 2}
+
+    def fetches(eng):
+        rows = eng.table("fetches").select(
+            "task_id", "url", "depth", "code", "body_sha256"
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert fetches(resumed) == fetches(full)
+
+
+def test_asof_join_semantics(spark):
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "u"), (4, 50, "v")],
+        "id long, ts long, user string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), F.col("user"))
+    right = spark.createDataFrame(
+        [(100, 8, "u"), (101, 20, "u"), (102, 99, "v")],
+        "rid long, ts long, user string",
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"), F.col("user"))
+    out = {r.id: r.r_rid for r in
+           asof_join(left, right, by="user").collect()}
+    assert out[1] == 100      # latest right at-or-before ts=10
+    assert out[2] == 101      # tie at equal ts matches (<=)
+    assert out[3] is None     # nothing precedes ts=5
+    assert out[4] is None     # v's only right row is later
+
+
+def test_range_join_bucketed(spark):
+    from pycrawler_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 100, "u"), (2, 5000, "u"), (3, 100, "v")],
+        "id long, t long, user string",
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), "user")
+    iv = spark.createDataFrame(
+        [("u", 50, 200), ("u", 90, 110), ("v", 300, 400)],
+        "user string, s long, e long",
+    ).select(
+        "user",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    rows = range_join(pts, iv, by="user", bucket_seconds=60).collect()
+    got = sorted((r.id, int(r.start_ts.timestamp())) for r in rows)
+    # point 1 falls in BOTH u-windows; 2 and 3 in none
+    assert got == [(1, 50), (1, 90)]
+
+    # plan: candidates meet on an equi-join, never a cross product
+    plan = range_join(pts, iv, by="user", bucket_seconds=60)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

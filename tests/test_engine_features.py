@@ -347,3 +347,34 @@ def test_manifest_records_extraction_modes(spark, tmp_path):
     assert modes["tokenize"] in ("nltk-wordnet", "morphy-approx")
     assert modes["meta_headers"] in ("bs4", "regex")
     assert modes["psl"]  # shipped-subset or a dat path
+
+
+def test_slim_link_struct_matches_full(spark, tmp_path):
+    """Without F6 filters the wave ships the 6-field slim link struct;
+    with any filter registered it ships the full 11-field one. Crawl
+    results must be identical (a no-op filter forces the full path)."""
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    pages_p, seeds_p, _ = write_corpus(
+        str(tmp_path / "c"), seed=31, n_hosts=4, pages_per_host=8,
+        mega_factor=2,
+    )
+
+    def run(tag, filters):
+        eng = CrawlEngine(
+            spark, str(tmp_path / tag), CrawlConfig(depth=2, max_urls=12),
+            job=tag, url_filters=filters,
+        )
+        eng.init_job(spark.read.parquet(seeds_p), pages_p)
+        eng.run()
+        rows = eng.table("fetches").select(
+            "task_id", "url", "url_norm", "depth", "seq", "code",
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    from pyspark.sql import functions as F2
+
+    noop = lambda link: F2.lit(False)  # filters out nothing -> full struct
+    assert run("slim", None) == run("full", [noop])
