@@ -1648,6 +1648,77 @@ def _o53():
     """
 
 
+_PR_CORPUS = dict(seed=42, n_hosts=3, pages_per_host=8, mega_factor=2)
+
+
+def _pr_edges_local():
+    """The deterministic corpus's page-level link graph, built with the
+    SAME pure-Python extraction/resolution functions the Spark UDFs
+    wrap — shared by the q54 oracle generator."""
+    from pycrawler_spark import htmlkit, urlkit
+    from pycrawler_spark.sources.corpus import generate_corpus
+
+    pages, _seeds, _robots = generate_corpus(**_PR_CORPUS)
+    edges = []
+    for p in pages:
+        base = urlkit.parse_url(p["url"])
+        if base is None:
+            continue
+        for href in htmlkit.extract_hrefs(p["html"]):
+            r = urlkit.url_from_href(href, base)
+            if r is not None:
+                edges.append(
+                    (p["url"], urlkit.url_str_with_query_fragment(r))
+                )
+    return edges
+
+
+def _q54_pagerank(spark, sf):
+    """PageRank frontier prioritization over the deterministic
+    corpus's link graph ("crawl important pages first"): hrefs are
+    extracted + resolved by the engine's vectorized UDFs, the
+    iterative rank loop is dst-keyed joins with lineage truncation
+    (operators/graph.py). Oracle: the identical graph built by the
+    same pure-Python kit functions, ranks replayed by the
+    pagerank_local twin, inlined as VALUES."""
+    import tempfile
+
+    from pycrawler_spark.functions.udfs import resolve_href_udf
+    from pycrawler_spark.operators.graph import pagerank
+    from pycrawler_spark.sources.corpus import write_corpus
+
+    work = tempfile.mkdtemp(prefix="entry_pr_")
+    pages_p, _, _ = write_corpus(work + "/corpus", **_PR_CORPUS)
+    pages = spark.read.parquet(pages_p)
+    from pycrawler_spark.functions.udfs import extract_hrefs_udf
+
+    edges = (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(extract_hrefs_udf(F.col("html"))).alias("href"),
+        )
+        .withColumn("l", resolve_href_udf(F.col("src"), F.col("href")))
+        .filter(F.col("l.url_full").isNotNull())
+        .select("src", F.col("l.url_full").alias("dst"))
+    )
+    return pagerank(edges, damping=0.85, iters=10).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _o54():
+    from pycrawler_spark.operators.graph import pagerank_local
+
+    ranks = pagerank_local(_pr_edges_local(), damping=0.85, iters=10)
+    vals = ",\n      ".join(
+        f"('{node}', {round(r, 6)!r})" for node, r in sorted(ranks.items())
+    )
+    return f"""
+    SELECT node, CAST(rank AS DOUBLE) AS rank
+    FROM (VALUES {vals}) AS t(node, rank)
+    """
+
+
 # --- crawl / ANN / media queries (oracled since round 3) --------------------
 
 def _q_media_features(spark, sf):
@@ -1969,6 +2040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_host_quality_rollup": _q51_host_quality_rollup,
     "q52_asof_join": _q52_asof_join,
     "q53_range_join": _q53_range_join,
+    "q54_pagerank": _q54_pagerank,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -2029,6 +2101,7 @@ _ORACLES: dict[str, str] = {
     "q51_host_quality_rollup": _o51(),
     "q52_asof_join": _o52(),
     "q53_range_join": _o53(),
+    "q54_pagerank": _o54(),
     "media_features": _o_media(),
     "ann_lsh_topk": _o_ann_lsh(),
     "ann_ivf_topk": _o_ann_ivf(),

@@ -858,3 +858,21 @@ def test_range_join_bucketed(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_matches_local_twin(spark):
+    """Spark PageRank == the pure-Python twin on a graph with a
+    dangling node and a multi-edge; ranks sum to ~1."""
+    from pycrawler_spark.operators.graph import pagerank, pagerank_local
+
+    edge_list = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"),
+                 ("a", "d")]  # d is dangling
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+    want = pagerank_local(edge_list, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # authority flows: b (two in-edges from a) outranks d (one)
+    assert got["b"] > got["d"]
