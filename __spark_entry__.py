@@ -85,19 +85,24 @@ def _o1():
 
 
 def _q2_topk_per_group(spark, sf):
-    """O4/A1 budget-truncation shape: top-3 orders per market segment
-    via row_number window (deterministic tiebreak)."""
+    """O4/A1 budget-truncation shape: top-3 orders per market segment.
+    Skew-immune salted two-phase ranking (operators/ranking.py
+    topk_per_group) — 5 segments would otherwise mean 5 tasks for the
+    whole table; the oracle's plain window proves result equality."""
+    from pycrawler_spark.operators.ranking import topk_per_group
+
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
     )
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
-    )
+    return topk_per_group(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        salt_on=["o_orderkey"],
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
 
 
 def _o2():
@@ -1076,11 +1081,15 @@ def _q38_training_data_filter(spark, sf):
     -> per-lang corpus stats. The canonical pre-training data shape:
     dedup, quality-gate, audit counts."""
     d = _t(spark, sf, "documents")
-    norm = F.lower(F.trim(F.col("text")))
-    w = Window.partitionBy(norm).orderBy("doc_id")
+    # min-id-per-class via aggregation + composite-key semi-join, not
+    # a text-partitioned window: the window shuffles the raw text as
+    # the partition key and serializes a mega duplicate class into one
+    # task (see operators/dedup.py exact_dedup)
+    keyed = d.withColumn("_h", F.md5(F.lower(F.trim(F.col("text")))))
+    winners = keyed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     kept = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        keyed.join(winners, ["_h", "doc_id"], "left_semi")
+        .drop("_h")
         .withColumn("n_words", F.size(F.split(F.trim(F.col("text")), r"\s+")))
         .filter(F.col("n_words") >= 10)
     )

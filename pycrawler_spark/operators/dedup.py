@@ -25,14 +25,23 @@ DEFAULT_SALTS = ("s1", "s2", "s3", "s4", "s5", "s6", "s7", "s8")
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct text: hash-groupBy — one
-    shuffle on the 32-hex md5 key, never on the text payload."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Keep one row (min id) per distinct text.
+
+    Plan shape: ``groupBy(md5(text)).min(id)`` + a semi-join back on
+    the (hash, id) COMPOSITE key. The earlier window
+    (``partitionBy(md5(text))`` + row_number) shipped every member of
+    a duplicate class into ONE task — a mega-class (empty docs, a
+    boilerplate error page duplicated 10^8 times) serializes the whole
+    job. The aggregation path absorbs the hot key map-side (partial
+    min), and the join key includes ``id`` so the hot class spreads
+    across partitions; text never shuffles either way."""
+    keyed = df.withColumn("_h", F.md5(F.col(text_col)))
+    winners = (
+        keyed.select("_h", id_col)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
     )
+    return keyed.join(winners, ["_h", id_col], "left_semi").drop("_h")
 
 
 # --- shingling / words -------------------------------------------------------

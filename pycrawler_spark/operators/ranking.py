@@ -16,7 +16,49 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols,
+    k: int,
+    rank_col: str = "rn",
+    salt_buckets: int = 16,
+    salt_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact top-k per group, skew-immune: a plain
+    ``Window.partitionBy(group)`` funnels EVERY row of a group through
+    one task — with a handful of groups (market segments, languages)
+    that is a handful of tasks for the whole table. Phase 1 ranks
+    within (group, salt) partitions — salt from a hash of the whole
+    row's order key, so the fan-out is ``salt_buckets`` tasks per
+    group — and keeps each partition's local top-k; phase 2 ranks the
+    surviving ``k * salt_buckets`` rows per group, a trivially small
+    window. Results are exactly the unsalted window's (top-k of a
+    union = top-k of per-part top-ks); ``order_cols`` must be a total
+    order (include a unique tiebreak) for a deterministic ``rank_col``.
+    ``salt_on`` (default: every df column) feeds the salt hash — any
+    deterministic row identity works, the salt only spreads rows.
+    """
+    order_cols = list(order_cols)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_on or df.columns)]),
+        F.lit(salt_buckets),
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w1))
+        .filter(F.col("_lrn") <= k)
+        .drop("_salt", "_lrn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
 
 
 def bm25_scores(

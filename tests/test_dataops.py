@@ -876,3 +876,30 @@ def test_pagerank_matches_local_twin(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # authority flows: b (two in-edges from a) outranks d (one)
     assert got["b"] > got["d"]
+
+
+def test_topk_per_group_salted_matches_plain_window(spark):
+    """The salted two-phase top-k must equal the single-window answer
+    on a skewed distribution (one group holds 90% of rows), including
+    rank values."""
+    from pyspark.sql import Window
+
+    from pycrawler_spark.operators.ranking import topk_per_group
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("g"),
+        F.col("id").alias("v"),
+    )
+    order = [F.col("v").desc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    plain = {
+        (r.g, r.v, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7).collect()
+    }
+    salted = {
+        (r.g, r.v, r.rn)
+        for r in topk_per_group(df, ["g"], order, k=7,
+                                salt_on=["v"]).collect()
+    }
+    assert salted == plain and len(plain) == 14

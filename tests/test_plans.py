@@ -327,3 +327,18 @@ def test_new_curation_ops_broadcast_small_sides(spark):
 
     fuzzy = _plan(E.queries()["q50_fuzzy_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in fuzzy
+
+
+def test_exact_dedup_has_no_text_partitioned_window(spark):
+    """exact_dedup must plan as aggregation + semi-join, never a
+    window partitioned by the text hash — a mega duplicate class
+    (10^8 copies of an error page) would serialize into one task."""
+    from pycrawler_spark.operators.dedup import exact_dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(df))
+    assert "Window" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # partial (map-side) aggregation absorbs the hot key before the
+    # exchange
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
