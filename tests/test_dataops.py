@@ -903,3 +903,78 @@ def test_topk_per_group_salted_matches_plain_window(spark):
                                 salt_on=["v"]).collect()
     }
     assert salted == plain and len(plain) == 14
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """Randomized (seeded) equivalence: asof_join == pandas
+    merge_asof(direction='backward') over many users with duplicate
+    and out-of-range timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from pycrawler_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(7)
+    lpdf = pd.DataFrame({
+        "id": range(400),
+        "user": rng.integers(0, 20, 400).astype(str),
+        "t": rng.integers(0, 10_000, 400),
+    })
+    rpdf = pd.DataFrame({
+        "rid": range(1000, 1300),
+        "user": rng.integers(0, 20, 300).astype(str),
+        "t": rng.integers(0, 10_000, 300),
+    }).drop_duplicates(["user", "t"])  # unique (user, ts) => well-defined
+    left = spark.createDataFrame(lpdf).select(
+        "id", "user", F.col("t").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(rpdf).select(
+        "rid", "user", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {r.id: r.r_rid for r in asof_join(left, right, by="user").collect()}
+
+    want_df = pd.merge_asof(
+        lpdf.assign(ts=pd.to_datetime(lpdf.t, unit="s")).sort_values("ts"),
+        rpdf.assign(ts=pd.to_datetime(rpdf.t, unit="s")).sort_values("ts"),
+        on="ts", by="user", direction="backward",
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+def test_range_join_property_vs_naive_join(spark):
+    """Randomized (seeded) equivalence: the bucketed range join ==
+    the naive conditional BETWEEN join, across bucket widths."""
+    import numpy as np
+
+    from pycrawler_spark.operators.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [(i, str(rng.integers(0, 8)), int(rng.integers(0, 50_000)))
+         for i in range(500)],
+        "id long, user string, t long",
+    ).select("id", "user", F.col("t").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(str(rng.integers(0, 8)), int(s), int(s + rng.integers(0, 5000)))
+         for s in rng.integers(0, 50_000, 60)],
+        "user string, s long, e long",
+    ).select(
+        "user",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    naive = pts.join(iv, "user").filter(
+        F.col("ts").between(F.col("start_ts"), F.col("end_ts"))
+    ).select("id", "start_ts", "end_ts")
+    want = sorted(tuple(r) for r in naive.collect())
+    for bucket in (60, 600, 7200):
+        got = sorted(
+            (r.id, r.start_ts, r.end_ts)
+            for r in range_join(pts, iv, by="user",
+                                bucket_seconds=bucket).collect()
+        )
+        assert got == want, f"bucket_seconds={bucket}"
