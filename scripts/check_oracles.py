@@ -48,7 +48,10 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default = sf0.01, the scale the DRIVER oracles at: q_ann_ivf's
+    # oracle inlines a quantizer fitted on sf0.01 data (similarity.
+    # ivf_fit_local), so that query is only oracle-comparable there
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
 
