@@ -1657,6 +1657,33 @@ def _o53():
     """
 
 
+def _q55_unigram_logprob(spark, sf):
+    """LM quality scoring, unigram form (CCNet perplexity-filter
+    stand-in): add-one-smoothed corpus unigram probabilities, mean
+    token log-prob per document. Low scorers are rare-token spam."""
+    from pycrawler_spark.operators.quality import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf, "documents"))
+
+
+def _o55():
+    return """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS c FROM words GROUP BY w
+    ), totals AS (
+      SELECT sum(c)::DOUBLE AS n_total, count(*)::DOUBLE AS n_vocab
+      FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((c + 1.0) / (n_total + n_vocab))), 4) AS avg_logprob
+    FROM words JOIN vocab USING (w) CROSS JOIN totals
+    GROUP BY doc_id
+    """
+
+
 _PR_CORPUS = dict(seed=42, n_hosts=3, pages_per_host=8, mega_factor=2)
 
 
@@ -2050,6 +2077,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_asof_join": _q52_asof_join,
     "q53_range_join": _q53_range_join,
     "q54_pagerank": _q54_pagerank,
+    "q55_unigram_logprob": _q55_unigram_logprob,
     "media_features": _q_media_features,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_topk": _q_ann_ivf,
@@ -2111,6 +2139,7 @@ _ORACLES: dict[str, str] = {
     "q52_asof_join": _o52(),
     "q53_range_join": _o53(),
     "q54_pagerank": _o54(),
+    "q55_unigram_logprob": _o55(),
     "media_features": _o_media(),
     "ann_lsh_topk": _o_ann_lsh(),
     "ann_ivf_topk": _o_ann_ivf(),

@@ -68,6 +68,47 @@ def ngram_repetition_stats(
     )
 
 
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model quality scoring, unigram form (the relational
+    stand-in for CCNet's KenLM perplexity filter): train add-one-
+    smoothed unigram probabilities on the corpus itself, then score
+    each document by its mean token log-probability. Documents full of
+    corpus-typical words score high; gibberish / rare-token spam
+    scores low. Deterministic and engine-portable — no model files.
+
+    Plan shape: one explode + a vocab-sized count table; the scoring
+    join is keyed by word (the count table is vocab-sized, typically
+    broadcastable; at web scale the join shuffles (doc_id, word)
+    pairs, never text). Returns (id_col, n_tokens, avg_logprob) with
+    avg_logprob rounded to 4 decimals.
+    """
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    # corpus totals as a 1-row broadcast, same pattern as bm25_scores
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("n_vocab"),
+    )
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("n_vocab"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
 def group_quality_rollup(
     docs: DataFrame,
     group_cols=("source", "lang"),

@@ -978,3 +978,18 @@ def test_range_join_property_vs_naive_join(spark):
                                 bucket_seconds=bucket).collect()
         )
         assert got == want, f"bucket_seconds={bucket}"
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from pycrawler_spark.operators.quality import unigram_logprob_scores
+
+    common = "the data table joins the data table " * 5
+    docs = spark.createDataFrame(
+        [(1, common.strip()),
+         (2, "the data table joins again"),
+         (3, "zxqv wplk qqjy mxnb vvzt")],  # rare-token gibberish
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logprob for r in
+           unigram_logprob_scores(docs).collect()}
+    assert out[1] > out[2] > out[3]
