@@ -184,6 +184,54 @@ PAGE_FEATURES_LINKS_STRUCT = T.StructType(
 _NULL_LINK = (None,) * len(_RESOLVED_FIELDS)
 
 
+def _full_link_tuple(r, full: str):
+    return (
+        r.scheme, r.netloc, r.host, r.path, r.query, r.fragment,
+        r.fld, r.suffix, urlkit.url_origin(r), full,
+        urlkit.normalize_url(full),
+    )
+
+
+def _slim_link_tuple(r, full: str):
+    return (
+        r.scheme, r.host, r.fld, urlkit.url_origin(r),
+        full, urlkit.normalize_url(full),
+    )
+
+
+def _resolve_frame(html, base_urls, build_link, null_link) -> pd.DataFrame:
+    """The ONE fused extraction+resolution loop shared by the full and
+    slim struct UDFs — the positional parity invariant (all-null
+    placeholder for unresolvable hrefs, base-None handling) lives in
+    exactly one place."""
+    texts, metas, logins, cookies, linkss = [], [], [], [], []
+    for h, base in zip(html, base_urls):
+        t, m, lg, ck, hr = htmlkit.page_features(h, True)
+        texts.append(t)
+        metas.append(m)
+        logins.append(lg)
+        cookies.append(ck)
+        p = urlkit.parse_url(base) if base is not None else None
+        links = []
+        for href in hr or []:
+            r = urlkit.url_from_href(href, p) if p is not None else None
+            if r is None:
+                links.append(null_link)
+            else:
+                full = urlkit.url_str_with_query_fragment(r)
+                links.append(build_link(r, full))
+        linkss.append(links)
+    return pd.DataFrame(
+        {
+            "extracted_text": texts,
+            "meta_headers": metas,
+            "has_login_form": logins,
+            "has_cookie_banner": cookies,
+            "links": linkss,
+        }
+    )
+
+
 @pandas_udf(PAGE_FEATURES_LINKS_STRUCT)
 def page_features_resolve_udf(
     html: pd.Series, base_urls: pd.Series
@@ -204,38 +252,7 @@ def page_features_resolve_udf(
     ``posexplode`` downstream assigns the SAME pos numbering as the
     unfused path (which filters after explode) and crawl-order parity
     is preserved byte-for-byte."""
-    texts, metas, logins, cookies, linkss = [], [], [], [], []
-    for h, base in zip(html, base_urls):
-        t, m, lg, ck, hr = htmlkit.page_features(h, True)
-        texts.append(t)
-        metas.append(m)
-        logins.append(lg)
-        cookies.append(ck)
-        p = urlkit.parse_url(base) if base is not None else None
-        links = []
-        for href in hr or []:
-            r = urlkit.url_from_href(href, p) if p is not None else None
-            if r is None:
-                links.append(_NULL_LINK)
-            else:
-                full = urlkit.url_str_with_query_fragment(r)
-                links.append(
-                    (
-                        r.scheme, r.netloc, r.host, r.path, r.query,
-                        r.fragment, r.fld, r.suffix, urlkit.url_origin(r),
-                        full, urlkit.normalize_url(full),
-                    )
-                )
-        linkss.append(links)
-    return pd.DataFrame(
-        {
-            "extracted_text": texts,
-            "meta_headers": metas,
-            "has_login_form": logins,
-            "has_cookie_banner": cookies,
-            "links": linkss,
-        }
-    )
+    return _resolve_frame(html, base_urls, _full_link_tuple, _NULL_LINK)
 
 
 # Slim variant: the candidate pipeline (operators/links.py) touches
@@ -276,37 +293,7 @@ def page_features_resolve_slim_udf(
     """page_features_resolve_udf with the slim link struct. Same fused
     single Python pass, same positional parity invariant (unresolvable
     hrefs stay as all-null entries)."""
-    texts, metas, logins, cookies, linkss = [], [], [], [], []
-    for h, base in zip(html, base_urls):
-        t, m, lg, ck, hr = htmlkit.page_features(h, True)
-        texts.append(t)
-        metas.append(m)
-        logins.append(lg)
-        cookies.append(ck)
-        p = urlkit.parse_url(base) if base is not None else None
-        links = []
-        for href in hr or []:
-            r = urlkit.url_from_href(href, p) if p is not None else None
-            if r is None:
-                links.append(_NULL_SLIM_LINK)
-            else:
-                full = urlkit.url_str_with_query_fragment(r)
-                links.append(
-                    (
-                        r.scheme, r.host, r.fld, urlkit.url_origin(r),
-                        full, urlkit.normalize_url(full),
-                    )
-                )
-        linkss.append(links)
-    return pd.DataFrame(
-        {
-            "extracted_text": texts,
-            "meta_headers": metas,
-            "has_login_form": logins,
-            "has_cookie_banner": cookies,
-            "links": linkss,
-        }
-    )
+    return _resolve_frame(html, base_urls, _slim_link_tuple, _NULL_SLIM_LINK)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

@@ -335,11 +335,20 @@ def page_features(html: "bytes | str | None", with_hrefs: bool = True):
     comment/script strip instead of five (the strip's two whole-doc
     regex subs dominate the per-page cost). ``with_hrefs=False`` skips
     link extraction for waves that collect no links (the final crawl
-    depth — the largest wave of a BFS crawl)."""
+    depth — the largest wave of a BFS crawl).
+
+    meta_headers goes through the bs4 re-serialization when the
+    library is present — the SAME path extract_meta_http_equiv takes —
+    so the manifest's recorded ``meta_headers`` extraction mode
+    describes what this (the wave's actual producer) emitted."""
     doc = _strip_nontext(to_text(html))
+    if HAVE_BS4:
+        metas = extract_meta_http_equiv(html)
+    else:
+        metas = _meta_from_doc(doc)
     return (
         _text_from_doc(doc),
-        _meta_from_doc(doc),
+        metas,
         _login_from_doc(doc),
         _cookie_from_doc(doc),
         _hrefs_from_doc(doc) if with_hrefs else None,

@@ -34,8 +34,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     boilerplate error page duplicated 10^8 times) serializes the whole
     job. The aggregation path absorbs the hot key map-side (partial
     min), and the join key includes ``id`` so the hot class spreads
-    across partitions; text never shuffles either way."""
-    keyed = df.withColumn("_h", F.md5(F.col(text_col)))
+    across partitions; text never shuffles either way.
+
+    NULL text is one class (sentinel key — an equality join would drop
+    every NULL-text row since NULL never equals NULL), matching the
+    window implementation this replaced. Fully identical (hash, id)
+    duplicates collapse to one survivor via the pre-join
+    dropDuplicates, also matching the window's row_number()==1."""
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("<null-text>"))
+    keyed = df.withColumn("_h", h).dropDuplicates(["_h", id_col])
     winners = (
         keyed.select("_h", id_col)
         .groupBy("_h")

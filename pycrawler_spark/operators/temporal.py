@@ -10,7 +10,7 @@ Both are staples of event-log analytics over the crawl/event tables:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join(
@@ -27,9 +27,9 @@ def asof_join(
 
     Spark-first plan: instead of a per-row subquery or an O(n*m)
     conditional join, both sides are UNIONED and sorted once per key —
-    ``last(value, ignorenulls=True)`` over an unbounded-preceding
-    window carries the most recent right-side values forward onto
-    each left row. ONE shuffle keyed by ``by``; cost is a sort per
+    ``last(right_row_struct, ignorenulls=True)`` over an
+    unbounded-preceding window carries the most recent right ROW
+    forward onto each left row. ONE shuffle keyed by ``by``; cost is a sort per
     key group, independent of how far back the match lies. Right rows
     order BEFORE left rows at equal timestamps (side flag in the sort
     key) so the tie matches, exactly like ASOF JOIN.
@@ -40,13 +40,20 @@ def asof_join(
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]
+    # the right row travels as ONE struct: carrying each value column
+    # independently with last(ignorenulls) would backfill a NULL field
+    # of the matched row from an OLDER row — fabricating a row that
+    # never existed. The struct is null iff no right row precedes the
+    # left row; its fields keep the matched row's own nulls.
+    rv_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         F.col(by).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r_tag = right.select(
         F.col(by).alias("_k"),
@@ -54,22 +61,19 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
-            for c in value_cols
-        ],
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "_rmatch", F.last("_rv", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_side") == 1).select(
-        *left.columns, *[f"r_{c}" for c in value_cols]
+        *left.columns,
+        *[F.col(f"_rmatch.{c}").alias(f"r_{c}") for c in value_cols],
     )
 
 

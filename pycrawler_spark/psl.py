@@ -105,7 +105,11 @@ SHIPPED_EXCEPTION: set[str] = {
 _PLAIN: set[str] = set(SUFFIXES)
 _WILDCARD: set[str] = set(SHIPPED_WILDCARD)
 _EXCEPTION: set[str] = set(SHIPPED_EXCEPTION)
-_MAX_SUFFIX_LABELS = max(s.count(".") for s in _PLAIN) + 1
+# placeholder; the real bound comes from _rebuild_bounds() below, which
+# accounts for wildcard (+1 label) and exception rules — computing it
+# from _PLAIN alone silently disabled the 3-label shipped rules on
+# freshly imported processes (executors!) until reset_psl() ran
+_MAX_SUFFIX_LABELS = 1
 _LOADED_FROM: Optional[str] = None
 
 
@@ -116,6 +120,9 @@ def _rebuild_bounds() -> None:
     mx = max(mx, max((s.count(".") + 1 for s in _WILDCARD), default=0))
     mx = max(mx, max((s.count(".") for s in _EXCEPTION), default=0))
     _MAX_SUFFIX_LABELS = mx + 1
+
+
+_rebuild_bounds()  # every fresh import (executors!) gets the true bound
 
 
 def parse_psl(text: str) -> tuple[set[str], set[str], set[str]]:

@@ -183,7 +183,12 @@ def stream_schedule(
         # the stateful groupBy(host) needs, so the frontier still
         # shuffles once; the rules column is consumed by the blocked
         # predicate and dropped before the state operator.
-        rules = robots.select("host", F.col("rules").alias("_rules"))
+        # one rule row per host (deterministic max): a duplicate host
+        # row (e.g. robots refetched across waves, unioned sources)
+        # would otherwise DUPLICATE every frontier row for that host
+        # through the join — the old driver-dict route collapsed
+        # duplicates implicitly
+        rules = robots.groupBy("host").agg(F.max("rules").alias("_rules"))
         stream = (
             stream.join(rules, "host", "left")
             .withColumn(

@@ -116,11 +116,10 @@ def stream_crawl(
         # wave runs — that is what makes replay after a crash safe.
         advance()
 
+    from pycrawler_spark.streaming.stateful import FRONTIER_STREAM_SCHEMA
+
     stream = (
-        spark.readStream.schema(
-            "task_id long, url string, url_norm string, host string, "
-            "depth int, repetition int, seq long, from_url string"
-        )
+        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(os.path.join(engine.workdir, "frontier"))

@@ -993,3 +993,36 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     out = {r.doc_id: r.avg_logprob for r in
            unigram_logprob_scores(docs).collect()}
     assert out[1] > out[2] > out[3]
+
+
+def test_asof_join_null_value_in_matched_row_not_backfilled(spark):
+    """A NULL field in the matched right row must stay NULL — not be
+    backfilled from an older right row (which would fabricate a row
+    that never existed; DuckDB ASOF semantics keep the row whole)."""
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u")], "id long, t long, user string"
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), "user")
+    right = spark.createDataFrame(
+        [(100, 5, 1.0, "u"), (101, 8, None, "u")],
+        "rid long, t long, value double, user string",
+    ).select(
+        "rid", F.col("t").cast("timestamp").alias("ts"), "value", "user"
+    )
+    row = asof_join(left, right, by="user").collect()[0]
+    assert row.r_rid == 101
+    assert row.r_value is None  # NOT 1.0 from the older row
+
+
+def test_exact_dedup_null_text_and_identical_rows(spark):
+    """NULL-text rows form one duplicate class with a min-id survivor
+    (not silently dropped by the equality join), and fully identical
+    rows collapse to one — the window semantics the aggregation path
+    replaced."""
+    from pycrawler_spark.operators.dedup import exact_dedup
+
+    rows = [(1, None), (2, None), (3, "x"), (3, "x"), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted((r.doc_id, r.text) for r in exact_dedup(df).collect())
+    assert out == [(1, None), (3, "x")]

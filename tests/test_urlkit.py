@@ -308,9 +308,13 @@ def test_shipped_subset_carries_wildcard_and_exception_rules():
     second-level delegation, the !www.ck carve-out, and the Japanese
     city wildcard/exception pairs — they change F5 same-site filtering
     and fld-keyed joins, so they can't wait for a deploy-time dat."""
+    import importlib
+
     from pycrawler_spark import psl
 
-    psl.reset_psl()
+    # fresh-import semantics (what an executor process sees) — no
+    # reset_psl() warm-up allowed to mask a stale import-time bound
+    importlib.reload(psl)
     assert psl.fld("foo.co.uk") == "foo.co.uk"
     assert psl.fld("a.b.foo.co.uk") == "foo.co.uk"
     # *.ck: any <label>.ck is a public suffix...
