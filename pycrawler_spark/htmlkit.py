@@ -342,7 +342,10 @@ def page_features(html: "bytes | str | None", with_hrefs: bool = True):
     so the manifest's recorded ``meta_headers`` extraction mode
     describes what this (the wave's actual producer) emitted."""
     doc = _strip_nontext(to_text(html))
-    if HAVE_BS4:
+    if HAVE_BS4 and "http-equiv" in doc.lower():
+        # cheap substring prefilter: the attribute name cannot be
+        # entity-encoded, so pages without it (the overwhelming
+        # majority) never pay the BeautifulSoup parse on this hot path
         metas = extract_meta_http_equiv(html)
     else:
         metas = _meta_from_doc(doc)

@@ -40,15 +40,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     every NULL-text row since NULL never equals NULL), matching the
     window implementation this replaced. Fully identical (hash, id)
     duplicates collapse to one survivor via the pre-join
-    dropDuplicates, also matching the window's row_number()==1."""
+    dropDuplicates, also matching the window's row_number()==1.
+    NULL ids survive too: a class holding only NULL-id rows keeps one
+    (string-sentinel join key). The one documented divergence from the
+    window's asc_nulls_first order: when a class has BOTH null and
+    non-null ids, the min NON-NULL id wins (keeping the real key is
+    strictly more useful than keeping the corrupt row)."""
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("<null-text>"))
-    keyed = df.withColumn("_h", h).dropDuplicates(["_h", id_col])
-    winners = (
-        keyed.select("_h", id_col)
-        .groupBy("_h")
-        .agg(F.min(id_col).alias(id_col))
+    id_s = F.coalesce(F.col(id_col).cast("string"), F.lit("<null-id>"))
+    keyed = (
+        df.withColumn("_h", h)
+        .withColumn("_id_s", id_s)
+        .dropDuplicates(["_h", "_id_s"])
     )
-    return keyed.join(winners, ["_h", id_col], "left_semi").drop("_h")
+    winners = keyed.select("_h", id_col).groupBy("_h").agg(
+        # min over non-null ids; NULL iff the class has only NULL ids
+        F.min(id_col).alias("_w")
+    ).select(
+        "_h",
+        F.coalesce(F.col("_w").cast("string"), F.lit("<null-id>")).alias(
+            "_id_s"
+        ),
+    )
+    return (
+        keyed.join(winners, ["_h", "_id_s"], "left_semi")
+        .drop("_h", "_id_s")
+    )
 
 
 # --- shingling / words -------------------------------------------------------

@@ -188,7 +188,14 @@ def stream_schedule(
         # would otherwise DUPLICATE every frontier row for that host
         # through the join — the old driver-dict route collapsed
         # duplicates implicitly
-        rules = robots.groupBy("host").agg(F.max("rules").alias("_rules"))
+        # persisted: the static side of a stream-static join re-runs
+        # its plan every micro-batch — without the cache the host
+        # dedup aggregation would re-shuffle the rules table per batch
+        rules = (
+            robots.groupBy("host")
+            .agg(F.max("rules").alias("_rules"))
+            .persist()
+        )
         stream = (
             stream.join(rules, "host", "left")
             .withColumn(

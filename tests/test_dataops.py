@@ -1026,3 +1026,18 @@ def test_exact_dedup_null_text_and_identical_rows(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sorted((r.doc_id, r.text) for r in exact_dedup(df).collect())
     assert out == [(1, None), (3, "x")]
+
+
+def test_exact_dedup_null_ids_survive(spark):
+    """A class whose only rows have NULL ids keeps one row; a mixed
+    class keeps the min NON-NULL id (documented divergence from the
+    window's nulls-first order — the real key is the useful survivor)."""
+    from pycrawler_spark.operators.dedup import exact_dedup
+
+    rows = [(None, "only-null"), (None, "only-null"),
+            (None, "mixed"), (7, "mixed"), (9, "mixed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.text, r.doc_id) for r in exact_dedup(df).collect()
+    )
+    assert out == [("mixed", 7), ("only-null", None)]
