@@ -169,6 +169,12 @@ def candidate_links(
     )
 
 
+# test hook: force the exact sequential fold even when the vectorized
+# fast path would apply (equivalence tests drive both paths on the
+# same data)
+FORCE_SLOW_KERNEL = False
+
+
 def _shuffle_key(seed: str, url: str) -> str:
     return hashlib.md5((seed + url).encode("utf-8")).hexdigest()[:16]
 
@@ -190,13 +196,80 @@ def dedup_budget_kernel(
     def kernel(key, cand: pd.DataFrame, seen_pdf: pd.DataFrame) -> pd.DataFrame:
         has_skey = "skey" in cand.columns
         task_id = int(key[0])
-        seen = set(seen_pdf["url_norm"]) if len(seen_pdf) else set()
         out: List[tuple] = []
         if not len(cand):
             return pd.DataFrame(out, columns=[f.name for f in KERNEL_SCHEMA.fields])
         budget = int(cand["budget"].iloc[0])
         rank = 0
         cand = cand.sort_values(["parent_seq", "pos"], kind="mergesort")
+        # ---- vectorized fast path: budget provably cannot exhaust ----
+        # When budget > total link rows, no group is ever skipped and
+        # every deduped link is inserted, so the whole sequential fold
+        # collapses into pandas column ops: the seen-insertion order is
+        # exactly frame order (parents sort before their links), so
+        # "already seen" == "in the persistent set OR duplicated
+        # earlier in the frame". Equivalence with the loop below is
+        # pinned by test_kernel_fast_path_matches_loop + parity suite.
+        links_mask = cand["kind"] != "parent"
+        parents_df = cand[~links_mask]
+        if (
+            not FORCE_SLOW_KERNEL
+            and has_skey
+            and budget > int(links_mask.sum())
+            and len(parents_df)
+            and not parents_df["parent_seq"].duplicated().any()
+            and set(cand["parent_seq"].unique())
+            == set(parents_df["parent_seq"].unique())
+        ):
+            seen0 = (
+                cand["url_norm"].isin(set(seen_pdf["url_norm"]))
+                if len(seen_pdf)
+                else pd.Series(False, index=cand.index)
+            )
+            dup = seen0 | cand["url_norm"].duplicated(keep="first")
+            fl = cand[links_mask & ~dup].copy()
+            n_g = fl.groupby("parent_seq")["pos"].transform("size")
+            idx_g = fl.groupby("parent_seq").cumcount()
+            if first_and_last:
+                head = (n_g * 0.15).astype(int)
+                tail = (n_g * 0.85).astype(int)
+                gof = ((idx_g >= head) & (idx_g < tail)).astype(int)
+            else:
+                gof = pd.Series(0, index=fl.index)
+            fl = fl.assign(_gof=gof).sort_values(
+                ["parent_seq", "_gof", "skey", "pos"], kind="mergesort"
+            )
+            parent_url = parents_df.set_index("parent_seq")["url"]
+            self_rows = pd.DataFrame(
+                {
+                    "task_id": task_id,
+                    "kind": "self",
+                    "url": parents_df["url"].values,
+                    "url_norm": parents_df["url_norm"].values,
+                    "host": None,
+                    "from_url": None,
+                    "order_rank": 0,
+                    "inserted": False,
+                }
+            )
+            link_rows = pd.DataFrame(
+                {
+                    "task_id": task_id,
+                    "kind": "link",
+                    "url": fl["url"].values,
+                    "url_norm": fl["url_norm"].values,
+                    "host": fl["host"].values,
+                    "from_url": fl["parent_seq"].map(parent_url).values,
+                    "order_rank": range(1, len(fl) + 1),
+                    "inserted": True,
+                }
+            )
+            res = pd.concat([self_rows, link_rows], ignore_index=True)
+            return res[[f.name for f in KERNEL_SCHEMA.fields]].astype(
+                {"task_id": "int64", "order_rank": "int64"}
+            )
+        # ---- exact sequential fold (budget may exhaust) ----
+        seen = set(seen_pdf["url_norm"]) if len(seen_pdf) else set()
         for parent_seq, grp in cand.groupby("parent_seq", sort=True):
             first = grp.iloc[0]
             if first["kind"] != "parent":

@@ -378,3 +378,56 @@ def test_slim_link_struct_matches_full(spark, tmp_path):
 
     noop = lambda link: F2.lit(False)  # filters out nothing -> full struct
     assert run("slim", None) == run("full", [noop])
+
+
+def test_kernel_fast_path_matches_loop(spark):
+    """The vectorized no-exhaustion kernel path must emit EXACTLY the
+    sequential fold's rows (ranks included) on a frame with cross-group
+    duplicates, persistent-seen hits, and FIRST_AND_LAST ordering."""
+    import pandas as pd
+
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.operators import links as L
+
+    rows = []
+    # two parent groups; links with dups within group, across groups,
+    # and against the persistent seen set
+    rows.append((1, "parent", 0, -1, "https://s/p0", "https://s/p0", None, None, 100))
+    for i, (u, n) in enumerate([
+        ("https://s/a", "https://s/a"),
+        ("https://s/b", "https://s/b"),
+        ("https://s/a2", "https://s/a"),     # dup within group
+        ("https://s/seen", "https://s/seen"),  # in persistent seen
+    ]):
+        rows.append((1, "link", 0, i, u, n, "s", f"k{i:02d}", 100))
+    rows.append((1, "parent", 1, -1, "https://s/p1", "https://s/p1", None, None, 100))
+    for i, (u, n) in enumerate([
+        ("https://s/b", "https://s/b"),      # dup across groups
+        ("https://s/c", "https://s/c"),
+        ("https://s/d", "https://s/d"),
+        ("https://s/e", "https://s/e"),
+        ("https://s/f", "https://s/f"),
+        ("https://s/g", "https://s/g"),
+        ("https://s/h", "https://s/h"),
+    ]):
+        rows.append((1, "link", 1, i, u, n, "s", f"q{9 - i}", 100))  # reversed skeys
+    cols = "task_id long, kind string, parent_seq long, pos int, url string, url_norm string, host string, skey string, budget long"
+    cand = spark.createDataFrame(rows, cols)
+    seen = spark.createDataFrame(
+        [(1, "https://s/seen")], "task_id long, url_norm string"
+    )
+
+    def run(cfg):
+        out = L.dedup_budget_kernel(cand, seen, cfg).collect()
+        return sorted(tuple(r) for r in out)
+
+    for fal in (False, True):
+        cfg = CrawlConfig(first_and_last=fal)
+        fast = run(cfg)
+        L.FORCE_SLOW_KERNEL = True
+        try:
+            slow = run(cfg)
+        finally:
+            L.FORCE_SLOW_KERNEL = False
+        assert fast == slow, f"first_and_last={fal}"
+        assert any(r[1] == "link" and r[7] for r in fast)  # inserted links exist
