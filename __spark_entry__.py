@@ -1088,8 +1088,10 @@ def _q38_training_data_filter(spark, sf):
     keyed = d.withColumn(
         "_h",
         F.coalesce(F.md5(F.lower(F.trim(F.col("text")))), F.lit("<null>")),
-    ).dropDuplicates(["_h", "doc_id"])  # identical full rows keep one,
-    # matching the oracle's row_number()==1 (same guard as exact_dedup)
+    ).dropDuplicates(["_h", "doc_id"])  # a repeated (class, doc_id) key
+    # keeps one row — an ARBITRARY one when duplicates differ in other
+    # columns, exactly as unordered as the oracle's row_number tie on
+    # equal doc_ids; doc_id is unique in the contract tables
     winners = keyed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     kept = (
         keyed.join(winners, ["_h", "doc_id"], "left_semi")
@@ -1733,7 +1735,7 @@ def _q54_pagerank(spark, sf):
     # one corpus per process (repeated bench/oracle runs were leaking
     # an entry_pr_* parquet dir into /tmp per invocation)
     if "pages_path" not in _PR_STATE or not os.path.isdir(
-        os.path.dirname(_PR_STATE["pages_path"])
+        _PR_STATE["pages_path"]
     ):
         work = tempfile.mkdtemp(prefix="entry_pr_")
         _PR_STATE["pages_path"], _, _ = write_corpus(

@@ -34,6 +34,7 @@ _A_HREF_RE = re.compile(
 _META_HTTP_EQUIV_RE = re.compile(
     r"<meta\b[^>]*\bhttp-equiv\s*=[^>]*?/?>", re.I | re.S
 )
+_HTTP_EQUIV_HINT_RE = re.compile(r"http-equiv", re.I)
 
 _FORM_RE = re.compile(
     r"<(form|fieldset)\b[^>]*>.*?</\1\s*>", re.I | re.S
@@ -341,11 +342,15 @@ def page_features(html: "bytes | str | None", with_hrefs: bool = True):
     library is present — the SAME path extract_meta_http_equiv takes —
     so the manifest's recorded ``meta_headers`` extraction mode
     describes what this (the wave's actual producer) emitted."""
-    doc = _strip_nontext(to_text(html))
-    if HAVE_BS4 and "http-equiv" in doc.lower():
-        # cheap substring prefilter: the attribute name cannot be
-        # entity-encoded, so pages without it (the overwhelming
-        # majority) never pay the BeautifulSoup parse on this hot path
+    raw = to_text(html)
+    doc = _strip_nontext(raw)
+    if HAVE_BS4 and _HTTP_EQUIV_HINT_RE.search(raw or ""):
+        # cheap prefilter over the RAW text (bs4 parses noscript/
+        # template contents that the strip removes — the prefilter
+        # must not hide tags the bs4 path would emit) via a
+        # case-insensitive regex scan: no lowercase copy of the
+        # document on this hot path. Pages without the attribute (the
+        # overwhelming majority) never pay the BeautifulSoup parse.
         metas = extract_meta_http_equiv(html)
     else:
         metas = _meta_from_doc(doc)

@@ -47,7 +47,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     non-null ids, the min NON-NULL id wins (keeping the real key is
     strictly more useful than keeping the corrupt row)."""
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("<null-text>"))
-    id_s = F.coalesce(F.col(id_col).cast("string"), F.lit("<null-id>"))
+    # prefix real ids so the null sentinel can never collide with a
+    # string id whose VALUE is the sentinel text
+    id_s = F.when(F.col(id_col).isNull(), F.lit("<null-id>")).otherwise(
+        F.concat(F.lit("v:"), F.col(id_col).cast("string"))
+    )
     keyed = (
         df.withColumn("_h", h)
         .withColumn("_id_s", id_s)
@@ -58,9 +62,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
         F.min(id_col).alias("_w")
     ).select(
         "_h",
-        F.coalesce(F.col("_w").cast("string"), F.lit("<null-id>")).alias(
-            "_id_s"
-        ),
+        F.when(F.col("_w").isNull(), F.lit("<null-id>"))
+        .otherwise(F.concat(F.lit("v:"), F.col("_w").cast("string")))
+        .alias("_id_s"),
     )
     return (
         keyed.join(winners, ["_h", "_id_s"], "left_semi")

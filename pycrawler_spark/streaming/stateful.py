@@ -166,6 +166,7 @@ def stream_schedule(
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
+    rules_cached = None
 
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
@@ -190,14 +191,17 @@ def stream_schedule(
         # duplicates implicitly
         # persisted: the static side of a stream-static join re-runs
         # its plan every micro-batch — without the cache the host
-        # dedup aggregation would re-shuffle the rules table per batch
-        rules = (
+        # dedup aggregation would re-shuffle the rules table per
+        # batch. Unpersisted on the availableNow path below; a caller
+        # of the long-running (available_now=False) variant owns the
+        # query's lifetime and with it this cache entry.
+        rules_cached = (
             robots.groupBy("host")
             .agg(F.max("rules").alias("_rules"))
             .persist()
         )
         stream = (
-            stream.join(rules, "host", "left")
+            stream.join(rules_cached, "host", "left")
             .withColumn(
                 "blocked", robots_blocked_udf()(F.col("url"), F.col("_rules"))
             )
@@ -227,4 +231,6 @@ def stream_schedule(
     q = writer.trigger(availableNow=available_now).start()
     if available_now:
         q.awaitTermination()
+        if rules_cached is not None:
+            rules_cached.unpersist()
     return q
