@@ -140,6 +140,55 @@ def stream_crawl(
     return state["stats"]
 
 
+def stream_seen_filter(
+    spark: SparkSession,
+    frontier_dir: str,
+    out_dir: str,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """J1 (URL-seen dedup) as STREAMING state: a continuous frontier
+    feed is de-duplicated on the normalized URL key across
+    micro-batches via Spark's streaming ``dropDuplicates`` — the first
+    arrival of each (task_id, url_norm) passes, every later arrival is
+    suppressed by the state store. The streaming twin of the batch
+    engine's bloom + semi-join seen set for listen-mode pipelines
+    where waves arrive as files.
+
+    State note: seen-set semantics are deliberately UNBOUNDED ("seen
+    once = seen forever"), so no watermark is set and the state store
+    grows with distinct URLs — exactly like the batch seen table. At
+    10^10 URLs the state belongs in RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) and partitions
+    by the grouping key, same hash-partitioned layout as the batch
+    table; the batch path's bloom+compaction remains the bulk-crawl
+    choice (SCALE.md).
+    """
+    from pycrawler_spark.streaming.stateful import FRONTIER_STREAM_SCHEMA
+
+    stream = (
+        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(frontier_dir)
+        .filter(F.col("repetition") == 1)
+        .dropDuplicates(["task_id", "url_norm"])
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(out_dir + "_ckpt"),
+        )
+    )
+    q = writer.trigger(availableNow=available_now).start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def stream_fetch_metrics(
     spark: SparkSession,
     workdir: str,

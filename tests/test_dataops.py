@@ -1041,3 +1041,56 @@ def test_exact_dedup_null_ids_survive(spark):
         (r.text, r.doc_id) for r in exact_dedup(df).collect()
     )
     assert out == [("mixed", 7), ("only-null", None)]
+
+
+def test_stream_seen_filter_dedups_across_batches(spark, tmp_path):
+    """Streaming J1: the first arrival of each (task, url_norm) passes;
+    re-arrivals in LATER micro-batches are suppressed by the state
+    store (not just within-batch distinct)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pycrawler_spark.streaming.stream import stream_seen_filter
+
+    fdir = tmp_path / "feed"
+    fdir.mkdir()
+    schema = pa.schema(
+        [("task_id", pa.int64()), ("url", pa.string()),
+         ("url_norm", pa.string()), ("host", pa.string()),
+         ("depth", pa.int32()), ("repetition", pa.int32()),
+         ("seq", pa.int64()), ("from_url", pa.string())]
+    )
+
+    def rows(urls, seq0):
+        return [
+            {"task_id": 1, "url": u, "url_norm": u, "host": "h",
+             "depth": 1, "repetition": 1, "seq": seq0 + i,
+             "from_url": None}
+            for i, u in enumerate(urls)
+        ]
+
+    pq.write_table(pa.Table.from_pylist(
+        rows(["https://h/a", "https://h/b", "https://h/a"], 0),
+        schema=schema), fdir / "f1.parquet")
+    time.sleep(1.1)
+    pq.write_table(pa.Table.from_pylist(
+        rows(["https://h/b", "https://h/c"], 10),
+        schema=schema), fdir / "f2.parquet")
+
+    out = str(tmp_path / "deduped")
+    stream_seen_filter(spark, str(fdir), out)
+    got = sorted(r.url_norm for r in spark.read.parquet(out).collect())
+    assert got == ["https://h/a", "https://h/b", "https://h/c"]
+
+    # a resumed query with the same checkpoint keeps the state: a
+    # third file resending everything emits only the genuinely new URL
+    time.sleep(1.1)
+    pq.write_table(pa.Table.from_pylist(
+        rows(["https://h/a", "https://h/c", "https://h/d"], 20),
+        schema=schema), fdir / "f3.parquet")
+    stream_seen_filter(spark, str(fdir), out)
+    got = sorted(r.url_norm for r in spark.read.parquet(out).collect())
+    assert got == ["https://h/a", "https://h/b", "https://h/c",
+                   "https://h/d"]
