@@ -55,7 +55,24 @@ HEADLINE = [
     "q11_minhash_signatures", "q12_minhash_dup_pairs", "q14_simhash16",
     "q15_embedding_topk", "q16_langid", "q18_token_counts",
     "q20_url_normalize", "q46_boilerplate", "q47_bm25",
+    # round-3 operators, benched since round 4 (VERDICT r3 item 7)
+    "q52_asof_join", "q53_range_join", "q54_pagerank",
+    "q55_unigram_logprob",
 ]
+
+# operator scaling pairs (round 4): the r3-added operators measured at
+# pinned local[SCALE_N] vs local[SCALE_4N] like the crawl loop, so a
+# scale regression in any of them is caught per-round. q54's corpus is
+# deliberately tiny (3 hosts x 8 pages — it pins the per-round job
+# structure of the iterative rank loop, not data throughput), so its
+# pair mostly measures the fixed driver floor; the data-bound signal
+# comes from q52/q53/q55 and the streaming crawl run.
+OPS_PAIR = ["q52_asof_join", "q53_range_join", "q54_pagerank",
+            "q55_unigram_logprob"]
+# smaller corpus for the streaming-loop pair: same shape as CORPUS,
+# sized so the local[SCALE_N] side stays under ~1 min
+OPS_CORPUS = dict(seed=42, n_hosts=24, pages_per_host=1400, mega_factor=2,
+                  branching=40)
 
 
 # bump when the corpus GENERATOR changes (new fixture kinds), so the
@@ -63,13 +80,14 @@ HEADLINE = [
 CORPUS_REV = 3  # rev2: redirect stubs; rev3: in-corpus robots.txt pages
 
 
-def corpus_dir() -> str:
-    tag = "-".join(str(v) for v in CORPUS.values()) + f"-rev{CORPUS_REV}"
+def corpus_dir(params: dict | None = None) -> str:
+    params = params or CORPUS
+    tag = "-".join(str(v) for v in params.values()) + f"-rev{CORPUS_REV}"
     d = f"/tmp/pycrawler_bench_corpus_{tag}"
     if not os.path.isdir(d):
         from pycrawler_spark.sources.corpus import write_corpus
 
-        write_corpus(d, **CORPUS)
+        write_corpus(d, **params)
     return d
 
 
@@ -100,6 +118,68 @@ def run_crawl_pinned(cores: int, n_exec: int = 0) -> dict:
         if line.startswith("{"):
             return _json.loads(line)
     raise RuntimeError(f"crawl worker failed: {out.stderr[-2000:]}")
+
+
+def run_ops_pinned(cores: int) -> dict:
+    """Run the r3-operator suite in a subprocess pinned to ``cores``
+    CPUs (same rationale as run_crawl_pinned)."""
+    import json as _json
+    import subprocess
+
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+           os.path.abspath(__file__), "--ops-worker", str(cores)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return _json.loads(line)
+    raise RuntimeError(f"ops worker failed: {out.stderr[-2000:]}")
+
+
+def run_ops(cores: int) -> dict:
+    """One parallelism level of the r3-operator scaling pair: the four
+    round-3 queries at SF_DIR plus one `stream_crawl` (the wave loop
+    as a Structured Streaming query) on the OPS corpus."""
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as entrymod
+    from pycrawler_spark.config import CrawlConfig
+    from pycrawler_spark.plans.crawl import CrawlEngine
+    from pycrawler_spark.session import get_spark
+    from pycrawler_spark.streaming.stream import stream_crawl
+
+    cdir = corpus_dir(OPS_CORPUS)
+    spark = get_spark(
+        app_name=f"bench-ops-{cores}",
+        master=f"local[{cores}]",
+        # fixed on both sides — see the run_crawl comment
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "32")
+        ),
+    )
+    out = {"cores": cores, "host_capacity_before": host_capacity()}
+    qs = entrymod.queries()
+    spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()  # warm
+    for name in OPS_PAIR:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    work = tempfile.mkdtemp(prefix=f"bench_ops_stream_{cores}_")
+    cfg = CrawlConfig(depth=CRAWL_DEPTH, max_urls=MAX_URLS)
+    eng = CrawlEngine(spark, os.path.join(work, "job"), cfg, job="bench-s")
+    eng.init_job(
+        spark.read.parquet(os.path.join(cdir, "seeds.parquet")),
+        os.path.join(cdir, "pages.parquet"),
+    )
+    t0 = time.monotonic()
+    stats = stream_crawl(eng)
+    wall = time.monotonic() - t0
+    n = sum(s["scheduled"] + s["found"] for s in stats)
+    out["stream_crawl_wall_sec"] = round(wall, 2)
+    out["stream_crawl_urls_per_sec"] = round(n / wall, 1)
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def host_capacity() -> float:
@@ -332,7 +412,41 @@ def main():
             "crawl_extracted": big["extracted"],
         }
         record_history(small, big, eff, eff_steady)
-        write_bench_md(small, big, eff, eff_steady, all_effs, eff_median)
+
+        # --- r3-operator scaling pairs (one interleaved pair) --------
+        ops_s = ops_b = None
+        if os.environ.get("SPARK_GRAFT_SKIP_OPS_SCALING", "") != "1":
+            wait_for_quiet_window(wait_pool)
+            ops_s = run_ops_pinned(SCALE_N)
+            ops_b = run_ops_pinned(SCALE_4N)
+            for name in OPS_PAIR:
+                scaling[f"{name}_local{SCALE_N}"] = ops_s[name]
+                scaling[f"{name}_local{SCALE_4N}"] = ops_b[name]
+                scaling[f"{name}_pair_eff"] = round(
+                    (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
+                )
+            scaling[f"stream_crawl_urls_per_sec_local{SCALE_N}"] = (
+                ops_s["stream_crawl_urls_per_sec"]
+            )
+            scaling[f"stream_crawl_urls_per_sec_local{SCALE_4N}"] = (
+                ops_b["stream_crawl_urls_per_sec"]
+            )
+            scaling["stream_crawl_scaling_efficiency"] = round(
+                (
+                    ops_b["stream_crawl_urls_per_sec"]
+                    / ops_s["stream_crawl_urls_per_sec"]
+                )
+                / ratio,
+                3,
+            )
+            scaling["ops_host_capacity_small_run"] = (
+                ops_s["host_capacity_before"]
+            )
+            scaling["ops_host_capacity_big_run"] = (
+                ops_b["host_capacity_before"]
+            )
+        write_bench_md(small, big, eff, eff_steady, all_effs, eff_median,
+                       ops_s, ops_b)
 
     t0 = time.monotonic()
     qtimes = run_queries()
@@ -389,8 +503,38 @@ def _best_line() -> str:
             f"{b['big']['steady_urls_per_sec']}/s)")
 
 
+def _ops_md(ops_s, ops_b) -> str:
+    if not ops_s or not ops_b:
+        return "(skipped this run: SPARK_GRAFT_SKIP_OPS_SCALING=1)"
+    ratio = ops_b["cores"] / ops_s["cores"]
+    rows = []
+    for name in OPS_PAIR:
+        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        rows.append(f"| {name} | {ops_s[name]} s | {ops_b[name]} s | {e} |")
+    se = round(
+        (ops_b["stream_crawl_urls_per_sec"]
+         / ops_s["stream_crawl_urls_per_sec"]) / ratio, 3)
+    rows.append(
+        f"| stream_crawl (URLs/s) | {ops_s['stream_crawl_urls_per_sec']} "
+        f"| {ops_b['stream_crawl_urls_per_sec']} | {se} |")
+    return "\n".join([
+        f"| operator | local[{ops_s['cores']}] | local[{ops_b['cores']}] "
+        "| pair efficiency |",
+        "|---|---|---|---|",
+        *rows,
+        "",
+        "q54's corpus is deliberately tiny (3 hosts x 8 pages): its pair "
+        "pins the per-round job structure of the iterative rank loop "
+        "(driver-floor-bound, so its efficiency number is expected to sit "
+        "well under the data-bound ones); the data-bound scaling signal "
+        "is q52/q53/q55 and the streaming crawl. Same pinning/steal "
+        "caveats as the main table.",
+    ])
+
+
 def write_bench_md(small: dict, big: dict, eff: float, eff_steady: float,
-                   all_effs=None, eff_median=None) -> None:
+                   all_effs=None, eff_median=None,
+                   ops_s=None, ops_b=None) -> None:
     md = f"""# BENCH — crawl-engine scaling evidence
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to
@@ -463,6 +607,16 @@ one that predicts cluster behavior.
 
 Measured by `python bench.py` (env: SPARK_GRAFT_CPUS={CPUS}).
 
+## Operator scaling pairs (r3-added operators, benched since r4)
+
+The round-3 operators (as-of join, range join, PageRank, unigram-LM
+scoring) and the streaming wave loop, measured as ONE pinned
+local[{small['cores']}] / local[{big['cores']}] pair on the same
+inputs (queries at sf, stream_crawl on a {OPS_CORPUS['n_hosts']}-host
+corpus):
+
+{_ops_md(ops_s, ops_b)}
+
 ## Streaming wave loop
 
 `stream_crawl` (the wave loop as one Structured Streaming query over
@@ -515,5 +669,7 @@ if __name__ == "__main__":
         print(json.dumps(run_crawl(int(sys.argv[2]))))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--crawl-worker-lc":
         print(json.dumps(run_crawl(0, n_exec=int(sys.argv[2]))))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--ops-worker":
+        print(json.dumps(run_ops(int(sys.argv[2]))))
     else:
         main()

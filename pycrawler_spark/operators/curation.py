@@ -102,36 +102,48 @@ def boilerplate_shingle_stats(
 
     Shuffle shape: shingles reduce to md5 keys before the
     (group, shingle-hash) count — the exchange carries 16-byte keys,
-    never span text; the boiler set is rejoined on the same key.
+    never span text; the boiler set is rejoined on the same key. The
+    shingle table (the job's biggest intermediate: tokenize + k-gram
+    transform + explode over full text) is CACHED and consumed by
+    exactly two subtrees — the boiler-set aggregation and one left
+    join whose single downstream aggregation produces both per-doc
+    counts (count + conditional count) — so the explode runs once,
+    not once per consumer.
     """
     from pycrawler_spark.operators.dedup import shingle
 
+    # cache: read by the boiler agg AND the stats join below; without
+    # it Spark recomputes the tokenize+explode subtree per consumer
+    # (their downstream exchanges differ, so no reuse applies)
     sh = (
         shingle(docs, text_col, id_col, k=k)
         .join(docs.select(id_col, group_col), id_col)
         .select(id_col, group_col, F.md5("shingle").alias("sh"))
+        .cache()
     )
     boiler = (
         sh.groupBy(group_col, "sh")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select(group_col, "sh")
+        .select(group_col, "sh", F.lit(True).alias("_boiler"))
     )
-    tot = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    nb = (
-        sh.join(boiler, [group_col, "sh"])
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_boiler"))
-    )
+    # one aggregation yields both counts: total shingle occurrences
+    # and the subset marked boilerplate by the (unique-keyed, so
+    # fan-out-free) left join
     return (
-        tot.join(nb, id_col, "left")
+        sh.join(boiler, [group_col, "sh"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(
+                F.when(F.col("_boiler"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_nb"),
+        )
         .select(
             id_col,
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
-            F.round(
-                F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles"), 4
-            ).alias("boiler_ratio"),
+            F.col("_n").cast("long").alias("n_shingles"),
+            F.col("_nb").cast("long").alias("n_boiler"),
+            F.round(F.col("_nb") / F.col("_n"), 4).alias("boiler_ratio"),
         )
     )
 
@@ -154,10 +166,12 @@ def hash_sample(
                                           F.col(id_col).cast("string"))),
                            1, 8), 16, 10).cast("long") % 1000
     )
-    rate_col = F.lit(int(default_rate * 1000))
+    # round, not truncate: float artifacts (0.29*1000 == 289.99997)
+    # would silently lower the effective rate by one per-mille
+    rate_col = F.lit(int(round(default_rate * 1000)))
     for g, r in sorted(rates.items()):
         rate_col = F.when(
-            F.col(group_col) == g, F.lit(int(r * 1000))
+            F.col(group_col) == g, F.lit(int(round(r * 1000)))
         ).otherwise(rate_col)
     return df.withColumn("_b", bucket).filter(F.col("_b") < rate_col).drop("_b")
 

@@ -5,14 +5,19 @@ A production crawl scheduler orders its frontier by link authority
 graph is the canonical signal. Like `dedup.dup_clusters`, this is an
 iterative fixed-round DataFrame algorithm: per round one equi-join
 keyed by node id + one aggregation, with `localCheckpoint` lineage
-truncation. No driver-side graph ever exists; only the dangling-mass
-scalar (one row) reaches the driver per round.
+truncation. No driver-side graph ever exists, and the driver blocks
+ONCE per round (the checkpoint materialization) — the dangling mass
+is a one-row DataFrame folded into the rank update via a broadcast
+cross join, never a per-round `.first()`.
 
 Scale shape at 10^10 edges: the edge list shuffles ONCE (by src, for
-out-degrees) and is then reused every round; per-round cost is a
-(dst-keyed) shuffle of (edge, rank-fraction) pairs — 16 bytes per
-edge — plus a node-sized aggregation. Rounds are fixed (default 10),
-so the whole computation is ~20 bounded shuffles.
+out-degrees) and is then reused every round; the dangling-node flag
+is computed ONCE (a left join at setup) and travels with the rank
+table, so no per-round anti-join re-derives the static dangling set.
+Per-round cost is a (dst-keyed) shuffle of (edge, rank-fraction)
+pairs — 16 bytes per edge — plus a node-sized aggregation and a scan
+of the (checkpointed) rank table for the dangling sum. Rounds are
+fixed (default 10), so the whole computation is ~20 bounded shuffles.
 """
 
 from __future__ import annotations
@@ -36,14 +41,21 @@ def pagerank(
 
     Fixed iteration count (deterministic); returns (node, rank).
     """
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
+    # dangling flag computed ONCE at setup (it is a static property of
+    # the graph) and carried through every round on the node table —
+    # re-deriving it per round with an anti-join would add one
+    # node-sized shuffle per iteration for an unchanging answer
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .join(deg.select(F.col(src_col).alias("node"),
+                         F.lit(False).alias("_dang")), "node", "left")
+        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
         .localCheckpoint()
     )
     n = nodes.count()
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
     # out-degree travels with each edge; materialized once, reused
     # every round
     e = (
@@ -51,7 +63,7 @@ def pagerank(
         .join(deg, src_col)
         .localCheckpoint()
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "_dang", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contribs = (
             e.join(ranks, e[src_col] == ranks["node"])
@@ -62,25 +74,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg[src_col], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass (rank held by no-out-edge nodes) as a ONE-ROW
+        # DataFrame broadcast-cross-joined into the update: the round
+        # stays a single job (the checkpoint), no driver round-trip
+        dangling = ranks.filter(F.col("_dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_dang",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dmass") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_local(edge_list, damping: float = 0.85, iters: int = 10):

@@ -220,6 +220,13 @@ def dedup_budget_kernel(
             and not parents_df["parent_seq"].duplicated().any()
             and set(cand["parent_seq"].unique())
             == set(parents_df["parent_seq"].unique())
+            # the fast path assumes each parent sorts BEFORE its links
+            # (parent pos=-1 < link pos>=0 from posexplode); a
+            # hand-built frame violating that would diverge from the
+            # fold's "first row must be the parent" group check, so it
+            # must take the exact path instead
+            and bool((parents_df["pos"] < 0).all())
+            and bool((cand.loc[links_mask, "pos"] >= 0).all())
         ):
             seen0 = (
                 cand["url_norm"].isin(set(seen_pdf["url_norm"]))

@@ -50,6 +50,7 @@ def schedule_wave(
     host_budget: int,
     obey_robots: bool,
     wave_interval_ms: int = 60_000,
+    priority: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the frontier rows annotated with ``granted`` (fetch this
     wave) / ``blocked`` (robots-disallowed -> never fetch).
@@ -60,7 +61,18 @@ def schedule_wave(
     ``wave_interval / crawl_delay`` fetches of that host fit in one
     wave interval (the reference never implemented robots at all —
     TODO at config-example.py:57 — so this is engine-defined, north
-    rule)."""
+    rule).
+
+    ``priority`` (opt-in): a (url_norm, priority:double) table — e.g.
+    PageRank over the discovered link graph (``operators/graph.py``,
+    "crawl important pages first") — joined onto the frontier before
+    the per-host queue; within one host, eligible rows are then
+    granted by DESCENDING priority (ties: ``seq``, so unranked rows
+    keep FIFO order among themselves at priority 0). Default ``None``
+    preserves the reference's insertion-order dequeue exactly
+    (database.py:257-285) — parity mode. The join is left + host-local
+    sort, so priority mode adds one equi-join and changes no shuffle
+    shape."""
     if robots is None:
         from pycrawler_spark.util import empty_df
 
@@ -69,6 +81,16 @@ def schedule_wave(
         ["crawl_delay"] if "crawl_delay" in robots.columns else []
     )
     rb = robots.select(*rb_cols)
+    use_priority = priority is not None
+    in_rows = free_rows.select(*_IN_COLS)
+    if use_priority:
+        in_rows = in_rows.join(
+            priority.select(
+                "url_norm", F.col("priority").cast("double").alias("_prio")
+            ),
+            "url_norm",
+            "left",
+        ).select(*_IN_COLS, F.coalesce("_prio", F.lit(0.0)).alias("_prio"))
 
     def plan(key, rows: pd.DataFrame, rb_rows: pd.DataFrame) -> pd.DataFrame:
         parser = None
@@ -84,7 +106,12 @@ def schedule_wave(
                 budget = min(
                     budget, max(1, int(wave_interval_ms / (float(delay) * 1000)))
                 )
-        rows = rows.sort_values("seq", kind="mergesort")
+        if use_priority:
+            rows = rows.sort_values(
+                ["_prio", "seq"], ascending=[False, True], kind="mergesort"
+            )
+        else:
+            rows = rows.sort_values("seq", kind="mergesort")
         blocked: List[bool] = []
         granted: List[bool] = []
         used = 0
@@ -105,8 +132,7 @@ def schedule_wave(
         return rows
 
     return (
-        free_rows.select(*_IN_COLS)
-        .groupBy("host")
+        in_rows.groupBy("host")
         .cogroup(rb.groupBy("host"))
         .applyInPandas(plan, SCHEDULE_SCHEMA)
     )

@@ -37,6 +37,18 @@ def asof_join(
     Returns all left columns plus ``value_cols`` (default: every
     non-key right column) with ``r_`` prefix (null when no right row
     precedes the left row).
+
+    Skew bound: each distinct ``by`` value is ONE window partition, so
+    a mega-key (every row sharing one key) serializes into a single
+    task — the same per-key sequential bound as the crawl kernel's
+    per-task fold (see ``dedup_budget_kernel``). That is the correct
+    shape for host-keyed/user-keyed telemetry (key cardinality >>
+    cores, per-key volume bounded by politeness/session length); for a
+    corpus-scale key (e.g. ``by=lang``) pre-split the key externally
+    (time-range chunks with a carry-in row per chunk) — this operator
+    deliberately does not salt, because the carried "latest right row"
+    state is order-dependent within the key. Pinned by
+    ``test_asof_mega_key_single_partition``.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]
@@ -84,7 +96,8 @@ def range_join(
     point_ts: str = "ts",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    bucket_seconds: int = 600,
+    bucket_seconds: int | None = 600,
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Inner join of point rows to every interval containing them
     (``start <= point <= end``) within the same ``by`` key — the
@@ -102,9 +115,40 @@ def range_join(
     assumed MUCH rarer than points (incident windows vs event logs),
     so the interval-side explosion is the cheap side.
 
+    Fan-out guard: an interval emits ``(end-start)/bucket_seconds``
+    rows, so ONE corrupt interval (an ``end_ts`` years in the future)
+    at a fixed bucket width can blow the per-task row count or the
+    sequence-length limit. Two defenses, both driven by one tiny
+    aggregation over the (small) interval side:
+
+    * ``bucket_seconds=None`` — auto-size: the width is derived from
+      the LONGEST interval so that no interval spans more than
+      ``max_buckets_per_interval`` buckets (floor 600 s). Result rows
+      are identical for any width; only the candidate density shifts.
+    * explicit ``bucket_seconds`` — validated: raises ``ValueError``
+      when the longest interval would exceed
+      ``max_buckets_per_interval`` buckets, instead of silently
+      skewing a task. Callers that trust their data can raise the cap.
+
     Result: one row per (point, containing interval), point columns
     plus ``start_col``/``end_col``.
     """
+    span = intervals.agg(
+        F.max(
+            F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+        )
+    ).first()[0]
+    max_span = int(span or 0)
+    if bucket_seconds is None:
+        bucket_seconds = max(600, -(-max_span // max_buckets_per_interval))
+    elif max_span // bucket_seconds + 1 > max_buckets_per_interval:
+        raise ValueError(
+            f"range_join: an interval spans {max_span} s = "
+            f"{max_span // bucket_seconds + 1} buckets at "
+            f"bucket_seconds={bucket_seconds} (cap "
+            f"{max_buckets_per_interval}); pass bucket_seconds=None to "
+            "auto-size or raise max_buckets_per_interval"
+        )
     bsec = F.lit(bucket_seconds)
     p = points.withColumn(
         "_b", (F.unix_timestamp(F.col(point_ts)) / bsec).cast("long")

@@ -73,6 +73,9 @@ class CrawlEngine:
         # operators.links.candidate_links docstring)
         self.url_filters = list(url_filters or [])
         self.robots: Optional[DataFrame] = None
+        # opt-in frontier priority (url_norm, priority) — e.g. PageRank
+        # ranks from operators.graph; None = reference FIFO parity
+        self.priority: Optional[DataFrame] = None
         self.adult_sites: Optional[DataFrame] = None
         self.pages_path: Optional[str] = None
         self._closure_df: Optional[DataFrame] = None
@@ -241,6 +244,16 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("seq"),
             F.lit(None).cast("string").alias("from_url"),
         )
+
+    def set_priority(self, priority: Optional[DataFrame]) -> None:
+        """Opt into priority-ordered scheduling (politeness mode only):
+        ``priority`` is a (url_norm, priority:double) table — typically
+        PageRank over the link graph discovered so far
+        (``operators.graph.pagerank``) — and per-host grants then go to
+        the highest-ranked eligible rows first (unranked rows keep FIFO
+        order among themselves). ``None`` restores the default
+        reference-parity insertion-order dequeue."""
+        self.priority = priority
 
     def init_job(
         self,
@@ -681,6 +694,7 @@ class CrawlEngine:
             sched = schedule_wave(
                 free_d, self.robots, cfg.host_wave_budget, cfg.obey_robots,
                 wave_interval_ms=cfg.wave_interval_ms,
+                priority=self.priority,
             ).cache()
             wave = sched.filter(F.col("granted")).select(
                 "task_id", "url", "url_norm", "host", "depth", "seq", "from_url"

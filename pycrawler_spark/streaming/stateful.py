@@ -56,6 +56,41 @@ GRANT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType([T.StructField("tokens", T.LongType())])
 
+# state-store provider shortcuts for the stateful entry points. The
+# default (None) keeps Spark's HDFS-backed in-memory provider — fine
+# for wave-bounded state; "rocksdb" is the 10^10-key choice (state
+# spills to local SSD instead of executor heap; see SCALE.md).
+_STATE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def apply_state_provider(spark: SparkSession, provider: Optional[str]):
+    """Set the streaming state-store provider for queries STARTED
+    after this call (Spark captures session confs at query start).
+    ``provider``: ``"rocksdb"``, ``"hdfs"``, a fully-qualified provider
+    class name, or None (leave the session conf untouched). Returns a
+    zero-arg restore callable so availableNow-style callers can put
+    the previous session value back after termination."""
+    if provider is None:
+        return lambda: None
+    cls = _STATE_PROVIDERS.get(provider.lower(), provider)
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, cls)
+
+    def restore():
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+
+    return restore
+
 FRONTIER_STREAM_SCHEMA = (
     "task_id long, url string, url_norm string, host string, "
     "depth int, repetition int, seq long, from_url string"
@@ -153,6 +188,7 @@ def stream_schedule(
     capacity: Optional[int] = None,
     available_now: bool = True,
     checkpoint: Optional[str] = None,
+    state_store_provider: Optional[str] = None,
 ):
     """Continuous politeness scheduling over a frontier file stream.
 
@@ -162,11 +198,17 @@ def stream_schedule(
     token bucket ticks per file (``maxFilesPerTrigger=1``).
     ``refill``: tokens added per micro-batch (≈ host_wave_budget);
     ``capacity`` defaults to 2×refill (one wave of burst headroom).
+    ``state_store_provider``: ``"rocksdb"`` / ``"hdfs"`` / full class
+    name — set on the session just for this query's start (see
+    :func:`apply_state_provider`); default None keeps the session's
+    provider (HDFS-backed unless the caller changed it). Per-host
+    token state is O(#hosts) — at millions of hosts pass "rocksdb".
 
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
     rules_cached = None
+    restore_provider = apply_state_provider(spark, state_store_provider)
 
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
@@ -228,7 +270,12 @@ def stream_schedule(
             checkpoint or os.path.join(out_dir + "_ckpt"),
         )
     )
-    q = writer.trigger(availableNow=available_now).start()
+    try:
+        q = writer.trigger(availableNow=available_now).start()
+    finally:
+        # the query captured the conf at start; restore the session
+        # value so the parameter never leaks into later queries
+        restore_provider()
     if available_now:
         q.awaitTermination()
         if rules_cached is not None:

@@ -146,6 +146,7 @@ def stream_seen_filter(
     out_dir: str,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
+    state_store_provider: Optional[str] = None,
 ):
     """J1 (URL-seen dedup) as STREAMING state: a continuous frontier
     feed is de-duplicated on the normalized URL key across
@@ -158,13 +159,19 @@ def stream_seen_filter(
     State note: seen-set semantics are deliberately UNBOUNDED ("seen
     once = seen forever"), so no watermark is set and the state store
     grows with distinct URLs — exactly like the batch seen table. At
-    10^10 URLs the state belongs in RocksDB
-    (``spark.sql.streaming.stateStore.providerClass``) and partitions
-    by the grouping key, same hash-partitioned layout as the batch
-    table; the batch path's bloom+compaction remains the bulk-crawl
-    choice (SCALE.md).
+    10^10 URLs the state belongs in RocksDB: pass
+    ``state_store_provider="rocksdb"`` (or ``"hdfs"`` / a full
+    provider class name; default None keeps the session's provider,
+    HDFS-backed in-memory unless changed) — set on the session just
+    for this query's start and restored after. The batch path's
+    bloom+compaction remains the bulk-crawl choice (SCALE.md).
     """
-    from pycrawler_spark.streaming.stateful import FRONTIER_STREAM_SCHEMA
+    from pycrawler_spark.streaming.stateful import (
+        FRONTIER_STREAM_SCHEMA,
+        apply_state_provider,
+    )
+
+    restore_provider = apply_state_provider(spark, state_store_provider)
 
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
@@ -183,7 +190,10 @@ def stream_seen_filter(
             checkpoint or os.path.join(out_dir + "_ckpt"),
         )
     )
-    q = writer.trigger(availableNow=available_now).start()
+    try:
+        q = writer.trigger(availableNow=available_now).start()
+    finally:
+        restore_provider()
     if available_now:
         q.awaitTermination()
     return q

@@ -3,7 +3,13 @@
 the same parquet tables, compares row count, column names, and an
 order-insensitive value hash.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--out FILE.json] [sf_dir] [query ...]
+
+``--out``: additionally write the results as a driver-format JSON
+artifact ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — used to self-record the FULL 59-query run each
+round (the driver's own artifact enumerates at most 50 entries; see
+the note on _QUERIES in __spark_entry__.py).
 """
 
 from __future__ import annotations
@@ -48,11 +54,18 @@ def canon(rows, cols):
 
 
 def main():
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     # default = sf0.01, the scale the DRIVER oracles at: q_ann_ivf's
     # oracle inlines a quantizer fitted on sf0.01 data (similarity.
     # ivf_fit_local), so that query is only oracle-comparable there
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict = {}
     spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
 
     con = duckdb.connect()
@@ -74,12 +87,19 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark: {str(e)[:200]}"}
             n_fail += 1
             continue
         if name not in oracles:
             ok = len(srows) >= 0
             print(f"SKIP {name}: rows-only ({len(srows)} rows, "
                   f"{time.monotonic()-t0:.1f}s)")
+            report[name] = {"rows_match": ok, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": "no_oracle"}
             n_skip += 1
             continue
         try:
@@ -88,6 +108,10 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": f"duckdb: {str(e)[:200]}"}
             n_fail += 1
             continue
         problems = []
@@ -107,6 +131,14 @@ def main():
                     problems.append(f"  spark-only: {d}")
                 for d in list(ds - ss)[:2]:
                     problems.append(f"  duck-only:  {d}")
+        report[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
@@ -114,6 +146,12 @@ def main():
             print(f"PASS {name} ({len(srows)} rows, {time.monotonic()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {out_path} ({len(report)} entries)")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -1094,3 +1094,207 @@ def test_stream_seen_filter_dedups_across_batches(spark, tmp_path):
     got = sorted(r.url_norm for r in spark.read.parquet(out).collect())
     assert got == ["https://h/a", "https://h/b", "https://h/c",
                    "https://h/d"]
+
+
+def test_range_join_long_interval_guard(spark):
+    """One month-long interval must not explode onto thousands of
+    buckets: auto-sizing (bucket_seconds=None) widens the bucket from
+    the longest interval, and an explicit too-narrow width raises
+    instead of silently skewing a task (round-4 fan-out guard)."""
+    import pytest as _pytest
+
+    from pycrawler_spark.operators.temporal import range_join
+
+    month = 30 * 86400
+    pts = spark.createDataFrame(
+        [(1, 100, "u"), (2, month // 2, "u"), (3, month + 500, "u")],
+        "id long, t long, user string",
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), "user")
+    iv = spark.createDataFrame(
+        [("u", 50, month), ("u", 90, 110)],
+        "user string, s long, e long",
+    ).select(
+        "user",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    out = range_join(pts, iv, by="user", bucket_seconds=None)
+    got = sorted((r.id, int(r.start_ts.timestamp())) for r in out.collect())
+    assert got == [(1, 50), (1, 90), (2, 50)]  # 3 is past both windows
+    # auto width keeps the longest interval under the bucket cap
+    month_buckets = month // max(600, -(-month // 4096)) + 1
+    assert month_buckets <= 4096
+
+    with _pytest.raises(ValueError, match="bucket"):
+        range_join(pts, iv, by="user", bucket_seconds=60,
+                   max_buckets_per_interval=1000)
+    # trusting callers can raise the cap and keep the narrow width
+    ok = range_join(pts, iv, by="user", bucket_seconds=3600,
+                    max_buckets_per_interval=10**6)
+    assert sorted((r.id, int(r.start_ts.timestamp()))
+                  for r in ok.collect()) == got
+
+
+def test_asof_mega_key_single_partition(spark):
+    """Skew bound pinned: ALL rows sharing one `by` key still produce
+    the exact merge_asof answer (the key serializes into a single
+    window task by design — documented in asof_join's docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from pycrawler_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(11)
+    lpdf = pd.DataFrame({
+        "id": range(3000),
+        "user": "mega",
+        "t": rng.integers(0, 50_000, 3000),
+    })
+    rpdf = pd.DataFrame({
+        "rid": range(9000, 9400),
+        "user": "mega",
+        "t": rng.integers(0, 50_000, 400),
+    }).drop_duplicates(["user", "t"])
+    left = spark.createDataFrame(lpdf).select(
+        "id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(rpdf).select(
+        "rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    got = {r.id: r.r_rid for r in asof_join(left, right, by="user").collect()}
+    want_df = pd.merge_asof(
+        lpdf.sort_values("t", kind="mergesort"),
+        rpdf.sort_values("t", kind="mergesort"),
+        on="t", by="user", direction="backward",
+    )
+    want = dict(zip(want_df["id"], want_df["rid"]))
+    assert len(got) == 3000
+    for k, v in want.items():
+        g = got[k]
+        assert (g is None and pd.isna(v)) or g == v, (k, g, v)
+
+
+def test_pagerank_output_columns_and_no_driver_rank_state(spark):
+    """Round-4 rework: the dangling flag is internal — the result is
+    exactly (node, rank) — and a dangling-free graph still matches the
+    twin (the flag column is all-false there)."""
+    from pycrawler_spark.operators.graph import pagerank, pagerank_local
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a")]  # no dangling node
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    out = pagerank(df, iters=5)
+    assert out.columns == ["node", "rank"]
+    got = {r.node: r.rank for r in out.collect()}
+    want = pagerank_local(edge_list, iters=5)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_schedule_wave_priority_mode(spark):
+    """Opt-in priority scheduling: with a (url_norm, priority) table —
+    e.g. PageRank ranks — the per-host budget goes to the
+    highest-ranked eligible rows; unranked rows keep FIFO among
+    themselves; priority=None is byte-identical to the FIFO default."""
+    from pycrawler_spark.operators.scheduler import schedule_wave
+
+    rows = [
+        (1, f"https://h/{p}", f"https://h/{p}", "h", 1, i, None)
+        for i, p in enumerate(["a", "b", "c", "d"])
+    ]
+    free = spark.createDataFrame(
+        rows,
+        "task_id long, url string, url_norm string, host string, "
+        "depth int, seq long, from_url string",
+    )
+    prio = spark.createDataFrame(
+        [("https://h/c", 0.9), ("https://h/d", 0.5)],
+        "url_norm string, priority double",
+    )
+    sched = schedule_wave(free, None, 2, False, priority=prio)
+    granted = sorted(r.url_norm for r in sched.collect() if r.granted)
+    assert granted == ["https://h/c", "https://h/d"]
+
+    # default: FIFO parity (insertion order, database.py:257-285)
+    fifo = schedule_wave(free, None, 2, False)
+    granted = sorted(r.url_norm for r in fifo.collect() if r.granted)
+    assert granted == ["https://h/a", "https://h/b"]
+
+    # ranked rows first, then unranked in seq order when budget allows
+    sched3 = schedule_wave(free, None, 3, False, priority=prio)
+    order = [r.url_norm for r in
+             sorted(sched3.collect(), key=lambda r: r.seq) if r.granted]
+    assert set(order) == {"https://h/c", "https://h/d", "https://h/a"}
+
+
+def test_hash_sample_rounds_rates(spark):
+    """int(round(r*1000)) not int(r*1000): 0.29 must mean bucket<290
+    (truncation of the float artifact 289.9999… would drop bucket 289).
+    Expected set recomputed independently with hashlib."""
+    import hashlib
+
+    from pycrawler_spark.operators.curation import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(3000)], "doc_id long, lang string"
+    )
+    got = {r.doc_id for r in hash_sample(df, {"en": 0.29}).collect()}
+
+    def bucket(i):
+        h = hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1000
+
+    want = {i for i in range(3000) if bucket(i) < 290}
+    assert got == want
+    # the boundary per-mille is actually exercised by this corpus
+    assert any(bucket(i) == 289 for i in range(3000))
+
+
+def test_state_provider_param_sets_and_restores(spark):
+    """apply_state_provider pins the provider conf for the query being
+    started and hands back a restore; shortcuts map to the Spark
+    provider classes."""
+    from pycrawler_spark.streaming.stateful import (
+        _PROVIDER_CONF,
+        apply_state_provider,
+    )
+
+    before = spark.conf.get(_PROVIDER_CONF, None)
+    restore = apply_state_provider(spark, "rocksdb")
+    assert spark.conf.get(_PROVIDER_CONF).endswith(
+        "RocksDBStateStoreProvider")
+    restore()
+    assert spark.conf.get(_PROVIDER_CONF, None) == before
+    # no-op path
+    assert apply_state_provider(spark, None)() is None
+
+
+def test_stream_seen_filter_rocksdb_state(spark, tmp_path):
+    """stream_seen_filter with state_store_provider='rocksdb' runs the
+    dedup on the RocksDB state store (bundled with Spark 4) and leaves
+    the session conf untouched afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pycrawler_spark.streaming.stateful import _PROVIDER_CONF
+    from pycrawler_spark.streaming.stream import stream_seen_filter
+
+    before = spark.conf.get(_PROVIDER_CONF, None)
+    fdir = tmp_path / "feed"
+    fdir.mkdir()
+    schema = pa.schema(
+        [("task_id", pa.int64()), ("url", pa.string()),
+         ("url_norm", pa.string()), ("host", pa.string()),
+         ("depth", pa.int32()), ("repetition", pa.int32()),
+         ("seq", pa.int64()), ("from_url", pa.string())]
+    )
+    rows = [
+        {"task_id": 1, "url": u, "url_norm": u, "host": "h",
+         "depth": 1, "repetition": 1, "seq": i, "from_url": None}
+        for i, u in enumerate(["https://h/a", "https://h/b", "https://h/a"])
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   fdir / "f1.parquet")
+    out = str(tmp_path / "deduped")
+    stream_seen_filter(spark, str(fdir), out,
+                       state_store_provider="rocksdb")
+    got = sorted(r.url_norm for r in spark.read.parquet(out).collect())
+    assert got == ["https://h/a", "https://h/b"]
+    assert spark.conf.get(_PROVIDER_CONF, None) == before
