@@ -62,13 +62,20 @@ HEADLINE = [
 
 # operator scaling pairs (round 4): the r3-added operators measured at
 # pinned local[SCALE_N] vs local[SCALE_4N] like the crawl loop, so a
-# scale regression in any of them is caught per-round. q54's corpus is
-# deliberately tiny (3 hosts x 8 pages — it pins the per-round job
-# structure of the iterative rank loop, not data throughput), so its
-# pair mostly measures the fixed driver floor; the data-bound signal
-# comes from q52/q53/q55 and the streaming crawl run.
+# scale regression in any of them is caught per-round. The sf0.1
+# entry queries finish in 1-2 s — almost entirely session/planning
+# floor, which makes a small/large wall-time ratio meaningless — so
+# the DATA-BOUND operators (as-of join, range join, unigram LM) run
+# here on replicated inputs (events x OPS_SCALE_REP with salted user
+# keys, documents x OPS_SCALE_REP with salted doc ids): tens of
+# seconds of real work per side, floor amortized. q54's PageRank
+# corpus stays tiny by design (it pins the per-round job structure of
+# the iterative loop, not data throughput) and is reported as a
+# wall-time pin, not an efficiency.
 OPS_PAIR = ["q52_asof_join", "q53_range_join", "q54_pagerank",
             "q55_unigram_logprob"]
+OPS_SCALE_REP = int(os.environ.get("SPARK_GRAFT_OPS_SCALE_REP", "32"))
+OPS_SCALED = ["asof_join_x", "range_join_x", "unigram_logprob_x"]
 # smaller corpus for the streaming-loop pair: same shape as CORPUS,
 # sized so the local[SCALE_N] side stays under ~1 min
 OPS_CORPUS = dict(seed=42, n_hosts=24, pages_per_host=1400, mega_factor=2,
@@ -164,6 +171,63 @@ def run_ops(cores: int) -> dict:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t0, 3)
+
+    # data-bound forms on replicated inputs (see OPS_PAIR comment)
+    from pyspark.sql import functions as F
+
+    from pycrawler_spark.operators.quality import unigram_logprob_scores
+    from pycrawler_spark.operators.temporal import asof_join, range_join
+
+    def replicate(df, key_col):
+        reps = F.array(*[F.lit(i) for i in range(OPS_SCALE_REP)])
+        return (
+            df.withColumn("_r", F.explode(reps))
+            .withColumn(key_col, F.concat(
+                F.col(key_col).cast("string"), F.lit("#"),
+                F.col("_r").cast("string")))
+            .drop("_r")
+            # a single-parquet-file source leaves the checkpointed
+            # input with 1-2 partitions, serializing every downstream
+            # map stage on BOTH sides of the pair (a 100 TB table has
+            # thousands of splits); spread it like a real table
+            .repartition(int(os.environ.get(
+                "SPARK_GRAFT_BENCH_PARTITIONS", "32")))
+        )
+
+    ev = replicate(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet")),
+        "user_id",
+    ).localCheckpoint()  # materialized once: the pair times the
+    # OPERATOR, not the replication explode
+    # asof: FULL replicated table on both sides (the filtered entry
+    # subsets are small enough to finish inside the measurement floor)
+    purchases = ev.select("event_id", "user_id", "ts")
+    clicks = ev.select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"))
+    docs = replicate(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "doc_id",
+    ).localCheckpoint()
+    def materialize(df):
+        # noop sink, NOT count(): count() lets Catalyst prune every
+        # unconsumed column — for asof_join that deletes the window
+        # computation itself and the "measurement" is the union's row
+        # count. The noop writer consumes all columns JVM-side.
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = time.monotonic()
+    materialize(asof_join(purchases, clicks, by="user_id"))
+    out["asof_join_x"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    materialize(range_join(clicks, windows, by="user_id",
+                           bucket_seconds=600))
+    out["range_join_x"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    materialize(unigram_logprob_scores(docs))
+    out["unigram_logprob_x"] = round(time.monotonic() - t0, 3)
     work = tempfile.mkdtemp(prefix=f"bench_ops_stream_{cores}_")
     cfg = CrawlConfig(depth=CRAWL_DEPTH, max_urls=MAX_URLS)
     eng = CrawlEngine(spark, os.path.join(work, "job"), cfg, job="bench-s")
@@ -419,10 +483,16 @@ def main():
             wait_for_quiet_window(wait_pool)
             ops_s = run_ops_pinned(SCALE_N)
             ops_b = run_ops_pinned(SCALE_4N)
+            # entry-query walls: regression pins only (1-2 s at sf0.1,
+            # floor-bound — no efficiency derived from them)
             for name in OPS_PAIR:
                 scaling[f"{name}_local{SCALE_N}"] = ops_s[name]
                 scaling[f"{name}_local{SCALE_4N}"] = ops_b[name]
-                scaling[f"{name}_pair_eff"] = round(
+            # replicated-input forms: real per-operator scaling signal
+            for name in OPS_SCALED:
+                scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_N}"] = ops_s[name]
+                scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_4N}"] = ops_b[name]
+                scaling[f"{name}{OPS_SCALE_REP}_scaling_efficiency"] = round(
                     (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
                 )
             scaling[f"stream_crawl_urls_per_sec_local{SCALE_N}"] = (
@@ -509,8 +579,12 @@ def _ops_md(ops_s, ops_b) -> str:
     ratio = ops_b["cores"] / ops_s["cores"]
     rows = []
     for name in OPS_PAIR:
+        rows.append(f"| {name} (sf entry, floor-bound) | {ops_s[name]} s "
+                    f"| {ops_b[name]} s | — (regression pin) |")
+    for name in OPS_SCALED:
         e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
-        rows.append(f"| {name} | {ops_s[name]} s | {ops_b[name]} s | {e} |")
+        rows.append(f"| {name}{OPS_SCALE_REP} (replicated input) "
+                    f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
     se = round(
         (ops_b["stream_crawl_urls_per_sec"]
          / ops_s["stream_crawl_urls_per_sec"]) / ratio, 3)
@@ -523,12 +597,32 @@ def _ops_md(ops_s, ops_b) -> str:
         "|---|---|---|---|",
         *rows,
         "",
-        "q54's corpus is deliberately tiny (3 hosts x 8 pages): its pair "
-        "pins the per-round job structure of the iterative rank loop "
-        "(driver-floor-bound, so its efficiency number is expected to sit "
-        "well under the data-bound ones); the data-bound scaling signal "
-        "is q52/q53/q55 and the streaming crawl. Same pinning/steal "
-        "caveats as the main table.",
+        "The sf-entry rows are 1-2 s queries — almost entirely "
+        "session/planning/Arrow-spin-up floor, so no efficiency is "
+        "derived from them (a wall-time ratio of a fixed floor reads "
+        f"as ~1/{int(ratio)} regardless of the operator); they are "
+        "kept as per-round regression pins. The replicated-input rows "
+        f"(events/documents x{OPS_SCALE_REP}, salted keys, input "
+        "materialized via localCheckpoint + repartition before "
+        "timing) are the data-bound scaling signal, with two known "
+        "small-scale caps that do NOT exist at production scale: "
+        "(1) AQE coalesces post-shuffle stages toward its 64 MB "
+        "advisory target, so reduce-side parallelism at these sizes "
+        "is capped by DATA VOLUME, not cores (a 100 TB shuffle "
+        "produces thousands of advisory-sized partitions); (2) the "
+        "range join's interval side sits under the broadcast "
+        "threshold here, and a broadcast hash-relation build is "
+        "single-threaded on both sides of the pair (past the "
+        "threshold it becomes a fully parallel shuffle join). The "
+        "operators' shuffle SHAPES are plan-asserted in tests; these "
+        "pairs exist to catch wall-time regressions. q54's PageRank "
+        "corpus is deliberately tiny (3 hosts x 8 pages): it pins the "
+        "per-round job structure of the iterative rank loop. Single "
+        "pair per round — carries the full 2-3x steal variance; read "
+        "it with the capacity probes "
+        f"({ops_s['host_capacity_before']} / "
+        f"{ops_b['host_capacity_before']} M-iter/s this run, quiet "
+        "~12-16).",
     ])
 
 

@@ -1298,3 +1298,48 @@ def test_stream_seen_filter_rocksdb_state(spark, tmp_path):
     got = sorted(r.url_norm for r in spark.read.parquet(out).collect())
     assert got == ["https://h/a", "https://h/b"]
     assert spark.conf.get(_PROVIDER_CONF, None) == before
+
+
+def test_pagerank_no_per_round_driver_actions(spark, monkeypatch):
+    """The round-4 rework's point, pinned: the dangling mass stays a
+    1-row DataFrame folded in via broadcast cross join — the loop
+    never blocks the driver with `.first()` (the old shape did, once
+    per iteration), and the only driver action besides the per-round
+    checkpoint is the single setup `count()` of the node table."""
+    # patch the CLASSIC concrete class (pyspark>=4 splits the public
+    # DataFrame into an abstract front + classic/connect impls)
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from pycrawler_spark.operators.graph import pagerank
+
+    firsts, counts = [], []
+    orig_first, orig_count = _DF.first, _DF.count
+    monkeypatch.setattr(_DF, "first",
+                        lambda self: firsts.append(1) or orig_first(self))
+    monkeypatch.setattr(_DF, "count",
+                        lambda self: counts.append(1) or orig_count(self))
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    pagerank(df, iters=10)
+    assert len(firsts) == 0, "pagerank must not .first() per round"
+    assert len(counts) == 1, "exactly one setup count (N nodes)"
+
+
+def test_boilerplate_shingle_cached_single_explode(spark):
+    """q46's round-4 fix, pinned: the shingle explode feeds both
+    consumers through the cache — the executed plan reads an
+    InMemoryTableScan and the final aggregation computes BOTH counts
+    in one pass (no second join of two count tables)."""
+    from pycrawler_spark.operators.curation import boilerplate_shingle_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "h"), (2, "a b x y", "h"), (3, "a b q r", "h")],
+        "doc_id long, text string, source string",
+    )
+    out = boilerplate_shingle_stats(df, k=2, min_docs=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_shingles == 3 and rows[1].n_boiler == 1

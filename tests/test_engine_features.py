@@ -431,3 +431,56 @@ def test_kernel_fast_path_matches_loop(spark):
             L.FORCE_SLOW_KERNEL = False
         assert fast == slow, f"first_and_last={fal}"
         assert any(r[1] == "link" and r[7] for r in fast)  # inserted links exist
+
+
+def test_priority_mode_reorders_politeness_subwaves(spark, tmp_path):
+    """Engine pass-through of the opt-in priority scheduler (r4):
+    with politeness sub-waves, set_priority() pulls high-priority
+    depth-1 URLs into the FIRST sub-wave of their depth even though
+    FIFO (seq) order would schedule them last; the overall fetched
+    SET is unchanged — priority only reorders grants."""
+    kw = dict(seed=42, n_hosts=2, pages_per_host=10, mega_factor=2)
+    pages_p, seeds_p, _ = write_corpus(str(tmp_path / "c"), **kw)
+    cfg = CrawlConfig(depth=1, max_urls=25, politeness=True,
+                      wave_interval_ms=18000)  # 3 pages/host/wave
+
+    def run(priority_rows):
+        tag = "prio" if priority_rows else "fifo"
+        eng = CrawlEngine(spark, str(tmp_path / f"job_{tag}"), cfg.copy(),
+                          job=tag)
+        eng.init_job(spark.read.parquet(seeds_p), pages_p)
+        if priority_rows:
+            eng.set_priority(spark.createDataFrame(
+                priority_rows, "url_norm string, priority double"))
+        eng.run()
+        return eng.table("fetches").select(
+            "wave_id", "url_norm", "host", "depth", "seq").collect()
+
+    fifo = run(None)
+    # per host: the depth-1 row with the HIGHEST seq — under FIFO it is
+    # granted in the last sub-wave of its depth
+    last_by_host = {}
+    first_wave_d1 = {}
+    for r in fifo:
+        if r.depth == 1:
+            cur = last_by_host.get(r.host)
+            if cur is None or r.seq > cur.seq:
+                last_by_host[r.host] = r
+            w = first_wave_d1.get(r.host)
+            first_wave_d1[r.host] = min(w, r.wave_id) if w else r.wave_id
+    assert any(last_by_host[h].wave_id > first_wave_d1[h]
+               for h in last_by_host), "fixture must span sub-waves"
+
+    prio = run([(r.url_norm, 1.0) for r in last_by_host.values()])
+    prio_wave = {r.url_norm: r.wave_id for r in prio if r.depth == 1}
+    prio_first = {}
+    for r in prio:
+        if r.depth == 1:
+            w = prio_first.get(r.host)
+            prio_first[r.host] = min(w, r.wave_id) if w else r.wave_id
+    for h, row in last_by_host.items():
+        assert prio_wave[row.url_norm] == prio_first[h], (
+            f"{row.url_norm} not pulled into host {h}'s first sub-wave")
+    # same fetched set either way
+    assert {(r.url_norm, r.depth) for r in fifo} == \
+           {(r.url_norm, r.depth) for r in prio}
