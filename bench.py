@@ -480,7 +480,9 @@ def main():
         # --- r3-operator scaling pairs (one interleaved pair) --------
         ops_s = ops_b = None
         if os.environ.get("SPARK_GRAFT_SKIP_OPS_SCALING", "") != "1":
-            wait_for_quiet_window(wait_pool)
+            # own quiet-window budget: the crawl pairs above may have
+            # drained wait_pool, and this is a single no-retry pair
+            wait_for_quiet_window([60.0])
             ops_s = run_ops_pinned(SCALE_N)
             ops_b = run_ops_pinned(SCALE_4N)
             # entry-query walls: regression pins only (1-2 s at sf0.1,

@@ -100,43 +100,52 @@ def boilerplate_shingle_stats(
     the spans that repeat across one site's pages). Returns per-doc
     (n_shingles, n_boiler, boiler_ratio) for filtering or masking.
 
-    Shuffle shape: shingles reduce to md5 keys before the
-    (group, shingle-hash) count — the exchange carries 16-byte keys,
-    never span text; the boiler set is rejoined on the same key. The
-    shingle table (the job's biggest intermediate: tokenize + k-gram
-    transform + explode over full text) is CACHED and consumed by
-    exactly two subtrees — the boiler-set aggregation and one left
-    join whose single downstream aggregation produces both per-doc
-    counts (count + conditional count) — so the explode runs once,
-    not once per consumer.
+    Shuffle shape — a TRUE single pass over the shingle explode (the
+    job's biggest intermediate: tokenize + k-gram transform + explode
+    over full text is consumed by exactly ONE aggregation, so it is
+    computed exactly once with no cache/persist to size or evict):
+
+    1. aggregate to one row per (group, shingle-md5, doc) carrying the
+       doc's occurrence count — the only exchange that sees one row
+       per shingle OCCURRENCE, keyed by 16-byte hashes, never text;
+    2. a count() window over (group, shingle-md5) yields each
+       shingle's distinct-doc count (partition size bounded by docs
+       per group, the same bound the old countDistinct had);
+    3. aggregate by doc: n_shingles = sum(occ), n_boiler =
+       sum(occ where nd >= min_docs).
+
+    Three bounded exchanges, no self-join, no recompute, fault-
+    tolerant lineage (an earlier version cached the explode and
+    rejoined a boiler set — the cache pinned the largest intermediate
+    in executor memory for the session and still double-computed on
+    the first action, because the join's two leaf stages are
+    submitted concurrently before the cache is populated).
     """
+    from pyspark.sql import Window
+
     from pycrawler_spark.operators.dedup import shingle
 
-    # cache: read by the boiler agg AND the stats join below; without
-    # it Spark recomputes the tokenize+explode subtree per consumer
-    # (their downstream exchanges differ, so no reuse applies)
-    sh = (
+    per_pair = (
         shingle(docs, text_col, id_col, k=k)
         .join(docs.select(id_col, group_col), id_col)
         .select(id_col, group_col, F.md5("shingle").alias("sh"))
-        .cache()
+        .groupBy(group_col, "sh", id_col)
+        .agg(F.count("*").alias("_occ"))
     )
-    boiler = (
-        sh.groupBy(group_col, "sh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select(group_col, "sh", F.lit(True).alias("_boiler"))
-    )
-    # one aggregation yields both counts: total shingle occurrences
-    # and the subset marked boilerplate by the (unique-keyed, so
-    # fan-out-free) left join
+    nd = F.count("*").over(Window.partitionBy(group_col, "sh"))
     return (
-        sh.join(boiler, [group_col, "sh"], "left")
+        per_pair.withColumn("_nd", nd)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("_n"),
+            F.sum("_occ").alias("_n"),
             F.sum(
-                F.when(F.col("_boiler"), F.lit(1)).otherwise(F.lit(0))
+                # NULL groups never mark boilerplate — matches the
+                # join form (NULL keys don't match in an equi-join)
+                F.when(
+                    (F.col("_nd") >= min_docs)
+                    & F.col(group_col).isNotNull(),
+                    F.col("_occ"),
+                ).otherwise(F.lit(0))
             ).alias("_nb"),
         )
         .select(

@@ -84,9 +84,14 @@ def schedule_wave(
     use_priority = priority is not None
     in_rows = free_rows.select(*_IN_COLS)
     if use_priority:
+        # one row per url_norm (deterministic max), same guard as the
+        # streaming robots join: a duplicate priority row (e.g. ranks
+        # unioned across waves) would otherwise DUPLICATE the frontier
+        # row through the join — two identical grant rows, double
+        # fetch, stolen budget
         in_rows = in_rows.join(
-            priority.select(
-                "url_norm", F.col("priority").cast("double").alias("_prio")
+            priority.groupBy("url_norm").agg(
+                F.max(F.col("priority").cast("double")).alias("_prio")
             ),
             "url_norm",
             "left",

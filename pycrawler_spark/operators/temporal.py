@@ -133,6 +133,11 @@ def range_join(
     Result: one row per (point, containing interval), point columns
     plus ``start_col``/``end_col``.
     """
+    # one tiny driver-side aggregation over the (small) interval side
+    # per call — the price of the guard; both branches use the
+    # conservative bound floor(span/b)+2 (a misaligned interval can
+    # straddle one more bucket than span/b+1: start=9,end=20,b=10 hits
+    # buckets 0,1,2 while span//b+1 = 2)
     span = intervals.agg(
         F.max(
             F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
@@ -140,11 +145,12 @@ def range_join(
     ).first()[0]
     max_span = int(span or 0)
     if bucket_seconds is None:
-        bucket_seconds = max(600, -(-max_span // max_buckets_per_interval))
-    elif max_span // bucket_seconds + 1 > max_buckets_per_interval:
+        denom = max(max_buckets_per_interval - 2, 1)
+        bucket_seconds = max(600, -(-max_span // denom))
+    elif max_span // bucket_seconds + 2 > max_buckets_per_interval:
         raise ValueError(
-            f"range_join: an interval spans {max_span} s = "
-            f"{max_span // bucket_seconds + 1} buckets at "
+            f"range_join: an interval spans {max_span} s = up to "
+            f"{max_span // bucket_seconds + 2} buckets at "
             f"bucket_seconds={bucket_seconds} (cap "
             f"{max_buckets_per_interval}); pass bucket_seconds=None to "
             "auto-size or raise max_buckets_per_interval"

@@ -207,9 +207,23 @@ def stream_schedule(
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
-    rules_cached = None
+    # restore guard spans plan BUILDING too: an analysis error between
+    # here and start() must not leak the provider into the session
     restore_provider = apply_state_provider(spark, state_store_provider)
+    try:
+        return _stream_schedule_build(
+            spark, frontier_dir, out_dir, robots, refill, capacity,
+            available_now, checkpoint,
+        )
+    finally:
+        restore_provider()
 
+
+def _stream_schedule_build(
+    spark, frontier_dir, out_dir, robots, refill, capacity,
+    available_now, checkpoint,
+):
+    rules_cached = None
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -270,12 +284,7 @@ def stream_schedule(
             checkpoint or os.path.join(out_dir + "_ckpt"),
         )
     )
-    try:
-        q = writer.trigger(availableNow=available_now).start()
-    finally:
-        # the query captured the conf at start; restore the session
-        # value so the parameter never leaks into later queries
-        restore_provider()
+    q = writer.trigger(availableNow=available_now).start()
     if available_now:
         q.awaitTermination()
         if rules_cached is not None:

@@ -171,26 +171,27 @@ def stream_seen_filter(
         apply_state_provider,
     )
 
+    # restore guard spans plan BUILDING too: an analysis error before
+    # start() must not leak the provider into the session
     restore_provider = apply_state_provider(spark, state_store_provider)
-
-    stream = (
-        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(frontier_dir)
-        .filter(F.col("repetition") == 1)
-        .dropDuplicates(["task_id", "url_norm"])
-    )
-    writer = (
-        stream.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option(
-            "checkpointLocation",
-            checkpoint or os.path.join(out_dir + "_ckpt"),
-        )
-    )
     try:
+        stream = (
+            spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(frontier_dir)
+            .filter(F.col("repetition") == 1)
+            .dropDuplicates(["task_id", "url_norm"])
+        )
+        writer = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(out_dir + "_ckpt"),
+            )
+        )
         q = writer.trigger(availableNow=available_now).start()
     finally:
         restore_provider()

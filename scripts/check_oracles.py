@@ -58,6 +58,9 @@ def main():
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: check_oracles.py [--out FILE.json] [sf_dir] [query ...]")
+            return 2
         out_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     # default = sf0.01, the scale the DRIVER oracles at: q_ann_ivf's

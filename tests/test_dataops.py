@@ -1121,9 +1121,10 @@ def test_range_join_long_interval_guard(spark):
     out = range_join(pts, iv, by="user", bucket_seconds=None)
     got = sorted((r.id, int(r.start_ts.timestamp())) for r in out.collect())
     assert got == [(1, 50), (1, 90), (2, 50)]  # 3 is past both windows
-    # auto width keeps the longest interval under the bucket cap
-    month_buckets = month // max(600, -(-month // 4096)) + 1
-    assert month_buckets <= 4096
+    # auto width keeps the longest interval under the bucket cap even
+    # when it straddles bucket boundaries (floor(span/b)+2 bound)
+    auto_b = max(600, -(-month // (4096 - 2)))
+    assert month // auto_b + 2 <= 4096
 
     with _pytest.raises(ValueError, match="bucket"):
         range_join(pts, iv, by="user", bucket_seconds=60,
@@ -1327,11 +1328,12 @@ def test_pagerank_no_per_round_driver_actions(spark, monkeypatch):
     assert len(counts) == 1, "exactly one setup count (N nodes)"
 
 
-def test_boilerplate_shingle_cached_single_explode(spark):
-    """q46's round-4 fix, pinned: the shingle explode feeds both
-    consumers through the cache — the executed plan reads an
-    InMemoryTableScan and the final aggregation computes BOTH counts
-    in one pass (no second join of two count tables)."""
+def test_boilerplate_single_explode_in_plan(spark):
+    """q46's round-4 fix, pinned: the tokenize+k-gram+explode subtree
+    (the dominant cost) appears exactly ONCE in the physical plan —
+    the stats come from one aggregation + one count() window + one
+    final aggregation, not from rejoining multiple aggregations of a
+    recomputed (or cached) shingle table."""
     from pycrawler_spark.operators.curation import boilerplate_shingle_stats
 
     df = spark.createDataFrame(
@@ -1340,6 +1342,15 @@ def test_boilerplate_shingle_cached_single_explode(spark):
     )
     out = boilerplate_shingle_stats(df, k=2, min_docs=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert plan.count("Generate") == 1, plan
+    assert "InMemoryTableScan" not in plan  # no session-pinned cache
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].n_shingles == 3 and rows[1].n_boiler == 1
+    # NULL group rows never mark boilerplate (equi-join semantics)
+    df2 = spark.createDataFrame(
+        [(1, "a b", None), (2, "a b", None), (3, "a b", "h")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {r.doc_id: r.n_boiler
+            for r in boilerplate_shingle_stats(df2, k=2, min_docs=2).collect()}
+    assert out2 == {1: 0, 2: 0, 3: 0}

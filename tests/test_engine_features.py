@@ -467,7 +467,8 @@ def test_priority_mode_reorders_politeness_subwaves(spark, tmp_path):
             if cur is None or r.seq > cur.seq:
                 last_by_host[r.host] = r
             w = first_wave_d1.get(r.host)
-            first_wave_d1[r.host] = min(w, r.wave_id) if w else r.wave_id
+            first_wave_d1[r.host] = (
+                r.wave_id if w is None else min(w, r.wave_id))
     assert any(last_by_host[h].wave_id > first_wave_d1[h]
                for h in last_by_host), "fixture must span sub-waves"
 
@@ -477,7 +478,8 @@ def test_priority_mode_reorders_politeness_subwaves(spark, tmp_path):
     for r in prio:
         if r.depth == 1:
             w = prio_first.get(r.host)
-            prio_first[r.host] = min(w, r.wave_id) if w else r.wave_id
+            prio_first[r.host] = (
+                r.wave_id if w is None else min(w, r.wave_id))
     for h, row in last_by_host.items():
         assert prio_wave[row.url_norm] == prio_first[h], (
             f"{row.url_norm} not pulled into host {h}'s first sub-wave")
