@@ -1354,3 +1354,24 @@ def test_boilerplate_single_explode_in_plan(spark):
     out2 = {r.doc_id: r.n_boiler
             for r in boilerplate_shingle_stats(df2, k=2, min_docs=2).collect()}
     assert out2 == {1: 0, 2: 0, 3: 0}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """asof_join's headline claim plan-asserted: ONE Exchange (hash by
+    the `by` key) feeds one sorted Window — no conditional join, no
+    per-row subquery, no second shuffle."""
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u")], "id long, ts long, user string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "user")
+    right = spark.createDataFrame(
+        [(9, 8, "u")], "rid long, ts long, user string"
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"), "user")
+    plan = asof_join(left, right, by="user")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, bad
