@@ -619,7 +619,14 @@ def _ops_md(ops_s, ops_b) -> str:
         "operators' shuffle SHAPES are plan-asserted in tests; these "
         "pairs exist to catch wall-time regressions. q54's PageRank "
         "corpus is deliberately tiny (3 hosts x 8 pages): it pins the "
-        "per-round job structure of the iterative rank loop. Single "
+        "per-round job structure of the iterative rank loop. "
+        "stream_crawl runs on a corpus "
+        f"~{CORPUS['n_hosts'] * CORPUS['pages_per_host'] // max(OPS_CORPUS['n_hosts'] * OPS_CORPUS['pages_per_host'], 1)}x "
+        "smaller than the batch gate's, so fixed per-micro-batch "
+        "costs (offset commit, file listing, wave bookkeeping) weigh "
+        "proportionally more on both sides — the 0.8 scaling gate is "
+        "the BATCH crawl pair above, whose saturated waves amortize "
+        "that floor. Single "
         "pair per round — carries the full 2-3x steal variance; read "
         "it with the capacity probes "
         f"({ops_s['host_capacity_before']} / "

@@ -152,8 +152,9 @@ def parse_psl(text: str) -> tuple[set[str], set[str], set[str]]:
 def load_psl(path: Optional[str] = None) -> int:
     """Load a full PSL dat file, REPLACING the shipped subset. Returns
     the number of rules loaded. With ``path=None`` and no env var,
-    tries common system locations; silently keeps the shipped subset
-    when nothing is found (returns 0).
+    tries the vendored package copy then common system locations;
+    silently keeps the shipped subset when nothing is found
+    (returns 0).
 
     An explicitly-set ``PYCRAWLER_PSL_PATH`` is treated like an
     explicit ``path`` argument: if that file is missing or unreadable
@@ -166,6 +167,38 @@ def load_psl(path: Optional[str] = None) -> int:
     global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
     env_path = os.environ.get("PYCRAWLER_PSL_PATH")
     explicit = path or env_path
+
+    def _install(plain, wild, exc, source) -> int:
+        global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
+        _PLAIN, _WILDCARD, _EXCEPTION = plain, wild, exc
+        _LOADED_FROM = source
+        _rebuild_bounds()
+        return len(plain) + len(wild) + len(exc)
+
+    if not explicit:
+        # vendored copy (round 4): the FULL Mozilla list ships inside
+        # the package (data/public_suffix_list.dat, MPL-2.0-licensed
+        # public data, sourced from the OS `publicsuffix` package —
+        # /usr/share/publicsuffix/), so every process that can import
+        # the package resolves the same full rule set with no env
+        # plumbing. Read via importlib.resources, NOT a file path:
+        # executors import the package from the py-files ZIP
+        # (zipimport), where package data is a zip member that plain
+        # open() cannot reach. System paths remain as fallbacks.
+        try:
+            from importlib.resources import files as _res_files
+
+            txt = (
+                _res_files("pycrawler_spark") / "data"
+                / "public_suffix_list.dat"
+            ).read_text(encoding="utf-8")
+            plain, wild, exc = parse_psl(txt)
+            if plain:
+                return _install(
+                    plain, wild, exc, "package:data/public_suffix_list.dat"
+                )
+        except Exception:
+            pass
     candidates = (
         [explicit]
         if explicit
@@ -180,10 +213,7 @@ def load_psl(path: Optional[str] = None) -> int:
                 plain, wild, exc = parse_psl(f.read())
             if not plain:
                 continue
-            _PLAIN, _WILDCARD, _EXCEPTION = plain, wild, exc
-            _LOADED_FROM = p
-            _rebuild_bounds()
-            return len(plain) + len(wild) + len(exc)
+            return _install(plain, wild, exc, p)
     if explicit:
         raise FileNotFoundError(
             f"PSL file {explicit!r} (from "
@@ -201,7 +231,28 @@ def psl_source() -> str:
 
 
 def reset_psl() -> None:
-    """Restore the shipped subset (test hook)."""
+    """Restore the import-time DEFAULT rule set (test hook): the
+    vendored/system full list when available, else the shipped
+    subset. Ignores ``PYCRAWLER_PSL_PATH`` — this hook undoes a
+    custom ``load_psl(path)``, it must not re-raise the env fail-fast
+    while a test still has the var monkeypatched."""
+    global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
+    _PLAIN = set(SUFFIXES)
+    _WILDCARD = set(SHIPPED_WILDCARD)
+    _EXCEPTION = set(SHIPPED_EXCEPTION)
+    _LOADED_FROM = None
+    _rebuild_bounds()
+    env = os.environ.pop("PYCRAWLER_PSL_PATH", None)
+    try:
+        load_psl()
+    finally:
+        if env is not None:
+            os.environ["PYCRAWLER_PSL_PATH"] = env
+
+
+def reset_psl_subset_only() -> None:
+    """Force the shipped subset regardless of available dat files
+    (test hook for subset-behavior assertions)."""
     global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
     _PLAIN = set(SUFFIXES)
     _WILDCARD = set(SHIPPED_WILDCARD)
@@ -210,9 +261,13 @@ def reset_psl() -> None:
     _rebuild_bounds()
 
 
-# auto-load on import so executor processes pick the list up too
-if os.environ.get("PYCRAWLER_PSL_PATH"):
-    load_psl()
+# auto-load on import so every process (driver AND executors) picks
+# up the same list: the vendored full dat under data/ loads by
+# default; an explicit PYCRAWLER_PSL_PATH still overrides and still
+# fails fast when its file is missing. The shipped subset survives
+# only where neither the vendored file nor a system copy exists
+# (e.g. a trimmed py-files zip without package data).
+load_psl()
 
 
 def public_suffix(host: str) -> Optional[str]:

@@ -34,6 +34,12 @@ def _package_zip() -> str:
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for py in sorted(pkg_dir.rglob("*.py")):
             z.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        # package data (the vendored full public-suffix list) must
+        # travel with the code: executors read it via
+        # importlib.resources from this zip (psl.load_psl)
+        for dat in sorted(pkg_dir.rglob("data/*")):
+            if dat.is_file():
+                z.write(dat, arcname=str(dat.relative_to(pkg_dir.parent)))
     return out
 
 

@@ -174,7 +174,8 @@ def test_load_psl_wildcard_and_exception(tmp_path):
         assert psl.fld("example.de") is None
     finally:
         psl.reset_psl()
-    # shipped subset restored (which itself carries *.ck since r3)
+    # import-time default restored (the vendored FULL list since r4;
+    # these behaviors hold under it just as under the old subset)
     assert psl.fld("example.de") == "example.de"
     assert psl.fld("bar.foo.ck") == "bar.foo.ck"
 
@@ -327,7 +328,8 @@ def test_shipped_subset_carries_wildcard_and_exception_rules():
     # jp city pairs: *.kawasaki.jp wildcard, !city.kawasaki.jp exception
     assert psl.fld("a.b.kawasaki.jp") == "a.b.kawasaki.jp"
     assert psl.fld("city.kawasaki.jp") == "city.kawasaki.jp"
-    assert psl.psl_source() == "shipped-subset"
+    # since r4 a fresh import loads the vendored FULL list by default
+    assert psl.psl_source() == "package:data/public_suffix_list.dat"
 
 
 def test_env_psl_path_missing_fails_fast(tmp_path, monkeypatch):
@@ -342,3 +344,51 @@ def test_env_psl_path_missing_fails_fast(tmp_path, monkeypatch):
     with _pytest.raises(FileNotFoundError, match="PYCRAWLER_PSL_PATH"):
         psl.load_psl()
     psl.reset_psl()
+
+
+def test_vendored_full_psl_default_and_zip_shipping():
+    """X2 full-fidelity unblocked (r4): the package vendors the FULL
+    Mozilla public_suffix_list.dat (sourced from the OS publicsuffix
+    package) and loads it on import in every process — including
+    executors that import from the py-files zip, where the dat is
+    read via importlib.resources. Spot-checks use rules that exist
+    ONLY in the full list, so the subset cannot fake a pass."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+    import zipfile
+
+    from pycrawler_spark import psl
+    from pycrawler_spark.session import _package_zip
+
+    assert psl.psl_source() == "package:data/public_suffix_list.dat"
+    # full-list-only rules (none are in the shipped subset):
+    # wildcard *.compute.amazonaws.com, plain pvt.k12.ma.us,
+    # plain hokkaido.jp
+    assert (psl.fld("x.eu-west-1.compute.amazonaws.com")
+            == "x.eu-west-1.compute.amazonaws.com")
+    assert psl.fld("a.pvt.k12.ma.us") == "a.pvt.k12.ma.us"
+    assert psl.fld("b.hokkaido.jp") == "b.hokkaido.jp"
+    # the subset resolves these differently — proves the dat is live
+    psl.reset_psl_subset_only()
+    try:
+        assert psl.fld("a.pvt.k12.ma.us") == "ma.us"
+    finally:
+        psl.reset_psl()
+
+    # the py-files zip carries the dat and a zip-imported process
+    # loads it (the executor path)
+    zp = _package_zip()
+    with zipfile.ZipFile(zp) as z:
+        assert "pycrawler_spark/data/public_suffix_list.dat" in z.namelist()
+    code = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {zp!r})
+        from pycrawler_spark import psl
+        assert psl.psl_source() == "package:data/public_suffix_list.dat"
+        assert psl.fld("a.pvt.k12.ma.us") == "a.pvt.k12.ma.us"
+        print("ZIPOK")
+    """)
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd="/tmp")
+    assert "ZIPOK" in r.stdout, r.stderr[-500:]
