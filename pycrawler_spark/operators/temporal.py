@@ -144,16 +144,24 @@ def range_join(
         )
     ).first()[0]
     max_span = int(span or 0)
-    if bucket_seconds is None:
+    auto = bucket_seconds is None
+    if auto:
         denom = max(max_buckets_per_interval - 2, 1)
         bucket_seconds = max(600, -(-max_span // denom))
-    elif max_span // bucket_seconds + 2 > max_buckets_per_interval:
+    # validate BOTH paths against the same bound: auto-sizing always
+    # satisfies it for cap >= 3, but a degenerate cap (<= 2) must
+    # raise rather than silently violate its own limit
+    if max_span // bucket_seconds + 2 > max_buckets_per_interval:
         raise ValueError(
             f"range_join: an interval spans {max_span} s = up to "
             f"{max_span // bucket_seconds + 2} buckets at "
-            f"bucket_seconds={bucket_seconds} (cap "
-            f"{max_buckets_per_interval}); pass bucket_seconds=None to "
-            "auto-size or raise max_buckets_per_interval"
+            f"bucket_seconds={bucket_seconds}"
+            f"{' (auto-sized)' if auto else ''} (cap "
+            f"{max_buckets_per_interval}); "
+            + ("raise max_buckets_per_interval"
+               if auto else
+               "pass bucket_seconds=None to auto-size or raise "
+               "max_buckets_per_interval")
         )
     bsec = F.lit(bucket_seconds)
     p = points.withColumn(

@@ -304,6 +304,10 @@ class CrawlEngine:
                     "tokenize": _tk.tokenize_mode(),
                     "meta_headers": _hk.extraction_mode(),
                     "psl": _psl.psl_source(),
+                    # rule-set md5: a mis-packaged deployment where
+                    # executors resolve a different list than the
+                    # driver becomes auditable (compare per-process)
+                    "psl_fingerprint": _psl.psl_fingerprint(),
                 },
                 "next_wave": 1,
                 "depth": 0,

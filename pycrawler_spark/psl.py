@@ -2,17 +2,16 @@
 
 The reference resolves eTLD+1 ("fld") via the ``tld`` PyPI package
 (/root/reference/utils.py:37-41, 74-75), which embeds the Mozilla
-Public Suffix List. That package is not available in this container,
-so by default we ship a compact PSL subset sufficient for the test
-corpora plus the common ICANN TLDs. :func:`load_psl` ingests a full
-``public_suffix_list.dat`` (including wildcard ``*.ck`` and exception
-``!www.ck`` rules) when one is available.
-
-Loading on a cluster: executors import this module fresh, so a
-driver-side :func:`load_psl` call does not reach them. Set
-``PYCRAWLER_PSL_PATH`` (checked at import time on every process — use
-``spark.executorEnv.PYCRAWLER_PSL_PATH`` plus ``--files`` to ship the
-dat file) and both driver and executors load the same list.
+Public Suffix List. Since round 4 the FULL list is VENDORED in this
+package (``data/public_suffix_list.dat``, MPL-2.0 public data) and
+auto-loads on import in every process — executors included, because
+they import the package from the py-files zip and the dat is read via
+``importlib.resources``. The compact in-code subset below is only the
+last-resort fallback for a trimmed deployment that dropped package
+data (and the provenance + fingerprint recorded in the job manifest
+make that case auditable). ``PYCRAWLER_PSL_PATH`` still overrides
+with fail-fast semantics for deployments pinning their own list
+(ship it with ``--files`` + ``spark.executorEnv``).
 
 Matching algorithm (publicsuffix.org spec, same outcome as
 ``tld.get_tld``):
@@ -230,18 +229,31 @@ def psl_source() -> str:
     return _LOADED_FROM or "shipped-subset"
 
 
+def psl_fingerprint() -> str:
+    """Deterministic md5 over the active rule sets. Recorded in the
+    job manifest next to :func:`psl_source`: if a mis-packaged
+    deployment ever makes driver and executors resolve different
+    lists (trimmed zip without package data + divergent system dat),
+    the per-process fingerprints differ and the divergence is
+    auditable instead of silent."""
+    import hashlib
+
+    h = hashlib.md5()
+    for tag, rules in (("p", _PLAIN), ("w", _WILDCARD), ("e", _EXCEPTION)):
+        h.update(tag.encode())
+        for r in sorted(rules):
+            h.update(r.encode())
+            h.update(b"\n")
+    return h.hexdigest()
+
+
 def reset_psl() -> None:
     """Restore the import-time DEFAULT rule set (test hook): the
     vendored/system full list when available, else the shipped
     subset. Ignores ``PYCRAWLER_PSL_PATH`` — this hook undoes a
     custom ``load_psl(path)``, it must not re-raise the env fail-fast
     while a test still has the var monkeypatched."""
-    global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
-    _PLAIN = set(SUFFIXES)
-    _WILDCARD = set(SHIPPED_WILDCARD)
-    _EXCEPTION = set(SHIPPED_EXCEPTION)
-    _LOADED_FROM = None
-    _rebuild_bounds()
+    reset_psl_subset_only()
     env = os.environ.pop("PYCRAWLER_PSL_PATH", None)
     try:
         load_psl()

@@ -207,16 +207,29 @@ def stream_schedule(
     Writes grant rows (GRANT_SCHEMA) to ``out_dir`` as parquet.
     """
     capacity = capacity if capacity is not None else 2 * refill
-    # restore guard spans plan BUILDING too: an analysis error between
-    # here and start() must not leak the provider into the session
+    # restore guard spans plan building AND start(), nothing more: an
+    # analysis error before start() must not leak the provider into
+    # the session, and the session value must be back as soon as the
+    # query has captured its conf — another thread starting a query
+    # during an availableNow drain must not inherit the override
+    # (stream_seen_filter has the same shape)
     restore_provider = apply_state_provider(spark, state_store_provider)
     try:
-        return _stream_schedule_build(
+        q, rules_cached = _stream_schedule_build(
             spark, frontier_dir, out_dir, robots, refill, capacity,
             available_now, checkpoint,
         )
     finally:
         restore_provider()
+    if available_now:
+        try:
+            q.awaitTermination()
+        finally:
+            # unpersist even when the drain raises — retries must not
+            # accumulate pinned copies of the rules table
+            if rules_cached is not None:
+                rules_cached.unpersist()
+    return q
 
 
 def _stream_schedule_build(
@@ -285,8 +298,4 @@ def _stream_schedule_build(
         )
     )
     q = writer.trigger(availableNow=available_now).start()
-    if available_now:
-        q.awaitTermination()
-        if rules_cached is not None:
-            rules_cached.unpersist()
-    return q
+    return q, rules_cached

@@ -304,31 +304,40 @@ def test_normalize_identity_fast_shape_is_exact():
 
 
 def test_shipped_subset_carries_wildcard_and_exception_rules():
-    """The out-of-the-box rule set must already handle the exotic
-    registry shapes (publicsuffix2 semantics on the full list): *.ck
-    second-level delegation, the !www.ck carve-out, and the Japanese
-    city wildcard/exception pairs — they change F5 same-site filtering
-    and fld-keyed joins, so they can't wait for a deploy-time dat."""
+    """The in-code FALLBACK rule set (what a trimmed deployment
+    without package data resolves) must itself handle the exotic
+    registry shapes: *.ck second-level delegation, the !www.ck
+    carve-out, and the Japanese city wildcard/exception pairs — they
+    change F5 same-site filtering and fld-keyed joins. Since r4 the
+    vendored full list auto-loads on import, so the subset MUST be
+    forced explicitly here or these assertions silently test the full
+    list and the fallback rots unnoticed."""
     import importlib
 
     from pycrawler_spark import psl
 
-    # fresh-import semantics (what an executor process sees) — no
-    # reset_psl() warm-up allowed to mask a stale import-time bound
+    # fresh-import first (what an executor process sees) — the import
+    # itself must leave a consistent bound/rule state
     importlib.reload(psl)
-    assert psl.fld("foo.co.uk") == "foo.co.uk"
-    assert psl.fld("a.b.foo.co.uk") == "foo.co.uk"
-    # *.ck: any <label>.ck is a public suffix...
-    assert psl.public_suffix("x.y.ck") == "y.ck"
-    assert psl.fld("x.y.ck") == "x.y.ck"
-    # ...so a bare two-label ck host is NOT registrable
-    assert psl.fld("y.ck") is None
-    # ...except www.ck, carved back out by the exception rule
-    assert psl.fld("www.ck") == "www.ck"
-    # jp city pairs: *.kawasaki.jp wildcard, !city.kawasaki.jp exception
-    assert psl.fld("a.b.kawasaki.jp") == "a.b.kawasaki.jp"
-    assert psl.fld("city.kawasaki.jp") == "city.kawasaki.jp"
     # since r4 a fresh import loads the vendored FULL list by default
+    assert psl.psl_source() == "package:data/public_suffix_list.dat"
+    psl.reset_psl_subset_only()
+    try:
+        assert psl.psl_source() == "shipped-subset"
+        assert psl.fld("foo.co.uk") == "foo.co.uk"
+        assert psl.fld("a.b.foo.co.uk") == "foo.co.uk"
+        # *.ck: any <label>.ck is a public suffix...
+        assert psl.public_suffix("x.y.ck") == "y.ck"
+        assert psl.fld("x.y.ck") == "x.y.ck"
+        # ...so a bare two-label ck host is NOT registrable
+        assert psl.fld("y.ck") is None
+        # ...except www.ck, carved back out by the exception rule
+        assert psl.fld("www.ck") == "www.ck"
+        # jp city pairs: *.kawasaki.jp wildcard + !city.kawasaki.jp
+        assert psl.fld("a.b.kawasaki.jp") == "a.b.kawasaki.jp"
+        assert psl.fld("city.kawasaki.jp") == "city.kawasaki.jp"
+    finally:
+        psl.reset_psl()
     assert psl.psl_source() == "package:data/public_suffix_list.dat"
 
 
