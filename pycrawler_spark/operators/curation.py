@@ -102,49 +102,45 @@ def boilerplate_shingle_stats(
 
     Shuffle shape — a TRUE single pass over the shingle explode (the
     job's biggest intermediate: tokenize + k-gram transform + explode
-    over full text is consumed by exactly ONE aggregation, so it is
-    computed exactly once with no cache/persist to size or evict):
+    over full text is consumed exactly once, no cache/persist to size
+    or evict), with exactly ONE occurrence-sized exchange:
 
-    1. aggregate to one row per (group, shingle-md5, doc) carrying the
-       doc's occurrence count — the only exchange that sees one row
-       per shingle OCCURRENCE, keyed by 16-byte hashes, never text;
-    2. a count() window over (group, shingle-md5) yields each
-       shingle's distinct-doc count (partition size bounded by docs
-       per group, the same bound the old countDistinct had);
-    3. aggregate by doc: n_shingles = sum(occ), n_boiler =
-       sum(occ where nd >= min_docs).
-
-    Three bounded exchanges, no self-join, no recompute, fault-
-    tolerant lineage (an earlier version cached the explode and
-    rejoined a boiler set — the cache pinned the largest intermediate
-    in executor memory for the session and still double-computed on
-    the first action, because the join's two leaf stages are
-    submitted concurrently before the cache is populated).
+    1. the group column rides through the explode itself
+       (``shingle(extra_cols=[group_col])``) — no re-join of the
+       occurrence table back onto docs;
+    2. ``shingle`` already emits DISTINCT shingles per doc
+       (``array_distinct``), so one row per (group, shingle-md5, doc)
+       holds by construction — the old ``groupBy(...).count()``
+       always computed ``_occ = 1`` and was a provably redundant full
+       shuffle of the biggest intermediate;
+    3. a count() window over (group, shingle-md5) — THE one
+       occurrence-sized exchange, keyed by 16-byte hashes, never text
+       (partition size bounded by docs-per-group, the same bound a
+       countDistinct would have);
+    4. aggregate by doc: n_shingles = count(*), n_boiler =
+       count(nd >= min_docs) — map-side partial, so its exchange
+       carries doc-sized partial rows, not occurrences.
     """
     from pyspark.sql import Window
 
     from pycrawler_spark.operators.dedup import shingle
 
-    per_pair = (
-        shingle(docs, text_col, id_col, k=k)
-        .join(docs.select(id_col, group_col), id_col)
-        .select(id_col, group_col, F.md5("shingle").alias("sh"))
-        .groupBy(group_col, "sh", id_col)
-        .agg(F.count("*").alias("_occ"))
-    )
+    per_pair = shingle(
+        docs, text_col, id_col, k=k, extra_cols=[group_col]
+    ).select(id_col, group_col, F.md5("shingle").alias("sh"))
     nd = F.count("*").over(Window.partitionBy(group_col, "sh"))
     return (
         per_pair.withColumn("_nd", nd)
         .groupBy(id_col)
         .agg(
-            F.sum("_occ").alias("_n"),
+            F.count("*").alias("_n"),
             F.sum(
                 # NULL groups never mark boilerplate — matches the
                 # join form (NULL keys don't match in an equi-join)
                 F.when(
                     (F.col("_nd") >= min_docs)
                     & F.col(group_col).isNotNull(),
-                    F.col("_occ"),
+                    F.lit(1),
                 ).otherwise(F.lit(0))
             ).alias("_nb"),
         )

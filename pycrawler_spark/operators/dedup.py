@@ -79,9 +79,14 @@ def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            k: int = 3) -> DataFrame:
+            k: int = 3, extra_cols: Sequence[str] = ()) -> DataFrame:
     """Distinct k-token shingles via JVM array ops (transform over a
-    sequence of offsets — no Python)."""
+    sequence of offsets — no Python). ``extra_cols`` are carried
+    through the explode for free (narrow projection over the generate
+    output) — consumers that need a grouping column alongside each
+    shingle should pass it here rather than re-joining the source
+    table, which would re-shuffle the explode's occurrence-sized
+    output on the id key."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     sh = F.transform(
@@ -89,7 +94,8 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     return df.select(
-        id_col, F.explode(F.array_distinct(sh)).alias("shingle")
+        id_col, *extra_cols,
+        F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 
 

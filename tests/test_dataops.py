@@ -1344,6 +1344,16 @@ def test_boilerplate_single_explode_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1, plan
     assert "InMemoryTableScan" not in plan  # no session-pinned cache
+    # round-5 fix, pinned: exactly ONE occurrence-sized exchange.
+    # shingle() emits distinct shingles per doc, so the old
+    # groupBy(group, sh, id).count() always computed _occ = 1 — a
+    # redundant full shuffle of the biggest intermediate — and the
+    # group column now rides through the explode instead of being
+    # re-joined. Plan = Generate -> Exchange(group, sh) -> Window ->
+    # partial agg -> Exchange(doc_id, doc-sized) -> final agg:
+    # two exchanges total, no join operator anywhere.
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].n_shingles == 3 and rows[1].n_boiler == 1
     # NULL group rows never mark boilerplate (equi-join semantics)
