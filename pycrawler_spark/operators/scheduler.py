@@ -14,9 +14,15 @@ reference's insertion-order dequeue, database.py:257-285), robots
 rules are evaluated with ``urllib.robotparser``, and the first
 ``budget`` allowed rows are granted.
 
-Order parity: within a task, granted rows are always a seq-prefix of
-the eligible rows, so politeness sub-waves never reorder the crawl —
-they only split a depth level into consecutive sub-waves.
+Order parity (default FIFO mode, ``priority=None``): within a task,
+granted rows are always a seq-prefix of the eligible rows, so
+politeness sub-waves never reorder the crawl — they only split a
+depth level into consecutive sub-waves. Priority mode
+(``priority=<rank DataFrame>``) deliberately BREAKS this invariant:
+eligible rows are granted in descending-priority order (seq as
+tiebreak), so a high-rank URL can jump ahead of earlier-seq rows
+within its host (tested by
+``test_priority_mode_reorders_politeness_subwaves``).
 """
 
 from __future__ import annotations

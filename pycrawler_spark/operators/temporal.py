@@ -20,6 +20,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols=None,
+    chunk: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     ``right.ts <= left.ts`` within the same ``by`` key (DuckDB/kdb
@@ -44,11 +45,27 @@ def asof_join(
     per-task fold (see ``dedup_budget_kernel``). That is the correct
     shape for host-keyed/user-keyed telemetry (key cardinality >>
     cores, per-key volume bounded by politeness/session length); for a
-    corpus-scale key (e.g. ``by=lang``) pre-split the key externally
-    (time-range chunks with a carry-in row per chunk) — this operator
-    deliberately does not salt, because the carried "latest right row"
-    state is order-dependent within the key. Pinned by
-    ``test_asof_mega_key_single_partition``.
+    corpus-scale key (e.g. ``by=lang``) pass ``chunk=N`` (seconds) —
+    the built-in time-range-chunked mode — instead of salting: the
+    carried "latest right row" state is order-dependent within the
+    key, so a random salt would break semantics, but TIME splits
+    don't, provided each chunk sees the latest right row from before
+    its own start.
+
+    ``chunk=N`` plan: both sides land on ``floor(unix_ts / N)``
+    chunks; per (key, chunk) the latest right row is reduced map-side
+    (``max_by`` aggregation over the right side only), then carried
+    forward across the per-key CHUNK INDEX (a window over one row per
+    (key, chunk) — thousands of rows per key, not billions) and
+    injected into each chunk as a boundary row that sorts before every
+    real row. The main window then partitions by (key, chunk), so a
+    mega-key spreads over span/N tasks instead of one. Results are
+    identical to the unchunked mode for any N (property-tested vs
+    ``pandas.merge_asof``); cost is two extra small shuffles (the
+    right-side reduce and the chunk-index carry), so keep the default
+    unchunked mode when key cardinality >> cores. Unchunked shape
+    pinned by ``test_asof_mega_key_single_partition``; chunked shape
+    by ``test_asof_chunked_multi_partition_plan``.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]
@@ -75,13 +92,73 @@ def asof_join(
           for c in left.columns],
         F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
+    if chunk is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = l_tag.unionByName(r_tag).withColumn(
+            "_rmatch", F.last("_rv", ignorenulls=True).over(w)
+        )
+        return carried.filter(F.col("_side") == 1).select(
+            *left.columns,
+            *[F.col(f"_rmatch.{c}").alias(f"r_{c}") for c in value_cols],
+        )
+
+    # chunked mode: split each key by time range so a mega-key spreads
+    # across span/chunk window partitions (see docstring)
+    def _secs(df: DataFrame) -> F.Column:
+        dt = df.schema["_ts"].dataType
+        c = F.col("_ts")
+        if isinstance(dt, (T.TimestampType, getattr(T, "TimestampNTZType",
+                                                    T.TimestampType))):
+            return F.unix_timestamp(c)
+        return c.cast("double")
+
+    lc = l_tag.withColumn(
+        "_c", F.floor(_secs(l_tag) / F.lit(chunk)).cast("long"))
+    rc = r_tag.withColumn(
+        "_c", F.floor(_secs(r_tag) / F.lit(chunk)).cast("long"))
+    # latest right row per (key, chunk) — reduced map-side; ties at
+    # equal _ts are arbitrary, matching the unchunked sort's tie
+    # behavior among duplicate right timestamps
+    r_last = rc.groupBy("_k", "_c").agg(
+        F.max_by("_rv", "_ts").alias("_rvl"))
+    # carry the running latest across the per-key CHUNK INDEX: one row
+    # per (key, chunk) ever touched by either side — a tiny table (the
+    # mega-key contributes span/chunk rows here, not its row count)
+    chunks = (
+        lc.select("_k", "_c").unionByName(rc.select("_k", "_c")).distinct()
+    )
+    wc = (
+        Window.partitionBy("_k").orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        chunks.join(r_last, ["_k", "_c"], "left")
+        .withColumn("_rv", F.last("_rvl", ignorenulls=True).over(wc))
+        .filter(F.col("_rv").isNotNull())
+    )
+    # boundary row per (key, chunk): sorts before every real row
+    # (_ts NULL sorts ASC NULLS FIRST; _side -1 precedes right's 0)
+    bnd = carry.select(
+        "_k",
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_ts"),
+        F.lit(-1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        F.col("_rv"),
+        "_c",
+    )
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy("_k", "_c")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).withColumn(
-        "_rmatch", F.last("_rv", ignorenulls=True).over(w)
+    carried = (
+        lc.unionByName(rc).unionByName(bnd)
+        .withColumn("_rmatch", F.last("_rv", ignorenulls=True).over(w))
     )
     return carried.filter(F.col("_side") == 1).select(
         *left.columns,
@@ -96,8 +173,9 @@ def range_join(
     point_ts: str = "ts",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    bucket_seconds: int | None = 600,
+    bucket_seconds: int | None = None,
     max_buckets_per_interval: int = 4096,
+    validate: bool = True,
 ) -> DataFrame:
     """Inner join of point rows to every interval containing them
     (``start <= point <= end``) within the same ``by`` key — the
@@ -121,48 +199,55 @@ def range_join(
     sequence-length limit. Two defenses, both driven by one tiny
     aggregation over the (small) interval side:
 
-    * ``bucket_seconds=None`` — auto-size: the width is derived from
-      the LONGEST interval so that no interval spans more than
-      ``max_buckets_per_interval`` buckets (floor 600 s). Result rows
-      are identical for any width; only the candidate density shifts.
+    * ``bucket_seconds=None`` (the default) — auto-size: the width is
+      derived from the LONGEST interval so that no interval spans more
+      than ``max_buckets_per_interval`` buckets (floor 600 s). Result
+      rows are identical for any width; only the candidate density
+      shifts. Long intervals degrade gracefully (wider buckets) rather
+      than erroring.
     * explicit ``bucket_seconds`` — validated: raises ``ValueError``
       when the longest interval would exceed
       ``max_buckets_per_interval`` buckets, instead of silently
-      skewing a task. Callers that trust their data can raise the cap.
+      skewing a task. Callers that trust their data can raise the cap
+      or pass ``validate=False``, which also skips the span scan
+      entirely — plan construction is then fully lazy (no Spark job
+      at build time).
 
     Result: one row per (point, containing interval), point columns
     plus ``start_col``/``end_col``.
     """
-    # one tiny driver-side aggregation over the (small) interval side
-    # per call — the price of the guard; both branches use the
-    # conservative bound floor(span/b)+2 (a misaligned interval can
-    # straddle one more bucket than span/b+1: start=9,end=20,b=10 hits
-    # buckets 0,1,2 while span//b+1 = 2)
-    span = intervals.agg(
-        F.max(
-            F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
-        )
-    ).first()[0]
-    max_span = int(span or 0)
     auto = bucket_seconds is None
-    if auto:
-        denom = max(max_buckets_per_interval - 2, 1)
-        bucket_seconds = max(600, -(-max_span // denom))
-    # validate BOTH paths against the same bound: auto-sizing always
-    # satisfies it for cap >= 3, but a degenerate cap (<= 2) must
-    # raise rather than silently violate its own limit
-    if max_span // bucket_seconds + 2 > max_buckets_per_interval:
-        raise ValueError(
-            f"range_join: an interval spans {max_span} s = up to "
-            f"{max_span // bucket_seconds + 2} buckets at "
-            f"bucket_seconds={bucket_seconds}"
-            f"{' (auto-sized)' if auto else ''} (cap "
-            f"{max_buckets_per_interval}); "
-            + ("raise max_buckets_per_interval"
-               if auto else
-               "pass bucket_seconds=None to auto-size or raise "
-               "max_buckets_per_interval")
-        )
+    if auto or validate:
+        # one tiny driver-side aggregation over the (small) interval
+        # side per call — the price of the guard; both branches use
+        # the conservative bound floor(span/b)+2 (a misaligned
+        # interval can straddle one more bucket than span/b+1:
+        # start=9,end=20,b=10 hits buckets 0,1,2 while span//b+1 = 2)
+        span = intervals.agg(
+            F.max(
+                F.unix_timestamp(F.col(end_col))
+                - F.unix_timestamp(F.col(start_col))
+            )
+        ).first()[0]
+        max_span = int(span or 0)
+        if auto:
+            denom = max(max_buckets_per_interval - 2, 1)
+            bucket_seconds = max(600, -(-max_span // denom))
+        # validate BOTH paths against the same bound: auto-sizing
+        # always satisfies it for cap >= 3, but a degenerate cap (<= 2)
+        # must raise rather than silently violate its own limit
+        if max_span // bucket_seconds + 2 > max_buckets_per_interval:
+            raise ValueError(
+                f"range_join: an interval spans {max_span} s = up to "
+                f"{max_span // bucket_seconds + 2} buckets at "
+                f"bucket_seconds={bucket_seconds}"
+                f"{' (auto-sized)' if auto else ''} (cap "
+                f"{max_buckets_per_interval}); "
+                + ("raise max_buckets_per_interval"
+                   if auto else
+                   "pass bucket_seconds=None to auto-size or raise "
+                   "max_buckets_per_interval")
+            )
     bsec = F.lit(bucket_seconds)
     p = points.withColumn(
         "_b", (F.unix_timestamp(F.col(point_ts)) / bsec).cast("long")

@@ -148,7 +148,7 @@ def parse_psl(text: str) -> tuple[set[str], set[str], set[str]]:
     return plain, wild, exc
 
 
-def load_psl(path: Optional[str] = None) -> int:
+def load_psl(path: Optional[str] = None, ignore_env: bool = False) -> int:
     """Load a full PSL dat file, REPLACING the shipped subset. Returns
     the number of rules loaded. With ``path=None`` and no env var,
     tries the vendored package copy then common system locations;
@@ -162,9 +162,15 @@ def load_psl(path: Optional[str] = None) -> int:
     dat file was not shipped (``--files`` forgotten) fails fast at
     import rather than silently computing fld/seen keys from the
     subset while the driver uses the full list — a silent per-process
-    dedup-key divergence inside one job."""
+    dedup-key divergence inside one job.
+
+    ``ignore_env=True`` resolves the default (vendored/system) list
+    even when ``PYCRAWLER_PSL_PATH`` is set — used by the reset hook,
+    which must not re-raise the env fail-fast nor mutate the process
+    environment (popping/restoring the var would race with concurrent
+    threads reading it)."""
     global _PLAIN, _WILDCARD, _EXCEPTION, _LOADED_FROM
-    env_path = os.environ.get("PYCRAWLER_PSL_PATH")
+    env_path = None if ignore_env else os.environ.get("PYCRAWLER_PSL_PATH")
     explicit = path or env_path
 
     def _install(plain, wild, exc, source) -> int:
@@ -252,14 +258,12 @@ def reset_psl() -> None:
     vendored/system full list when available, else the shipped
     subset. Ignores ``PYCRAWLER_PSL_PATH`` — this hook undoes a
     custom ``load_psl(path)``, it must not re-raise the env fail-fast
-    while a test still has the var monkeypatched."""
+    while a test still has the var monkeypatched — via the
+    ``ignore_env`` flag, NOT by mutating ``os.environ`` (a
+    process-global pop/restore races with any concurrent thread
+    reading the env)."""
     reset_psl_subset_only()
-    env = os.environ.pop("PYCRAWLER_PSL_PATH", None)
-    try:
-        load_psl()
-    finally:
-        if env is not None:
-            os.environ["PYCRAWLER_PSL_PATH"] = env
+    load_psl(ignore_env=True)
 
 
 def reset_psl_subset_only() -> None:

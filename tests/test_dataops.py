@@ -945,6 +945,90 @@ def test_asof_join_property_vs_pandas_merge_asof(spark):
     assert got == want
 
 
+def test_asof_chunked_property_vs_pandas_merge_asof(spark):
+    """``chunk=N`` (the built-in mega-key mitigation) must reproduce
+    merge_asof EXACTLY on a single-key dataset — the case it exists
+    for — across chunk widths, including widths that leave long runs
+    of chunks with no right rows (those rows depend entirely on the
+    carried boundary row), plus a multi-key run at one width."""
+    import numpy as np
+    import pandas as pd
+
+    from pycrawler_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(13)
+    lpdf = pd.DataFrame({
+        "id": range(400),
+        "user": "k",
+        "t": rng.integers(0, 10_000, 400),
+    })
+    # right rows only in the first 3000 s: every later chunk has no
+    # right rows and must match via carry-in alone
+    rpdf = pd.DataFrame({
+        "rid": range(1000, 1150),
+        "user": "k",
+        "t": rng.integers(0, 3000, 150),
+    }).drop_duplicates(["user", "t"])
+    left = spark.createDataFrame(lpdf).select(
+        "id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(rpdf).select(
+        "rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    want_df = pd.merge_asof(
+        lpdf.assign(ts=pd.to_datetime(lpdf.t, unit="s")).sort_values("ts"),
+        rpdf.assign(ts=pd.to_datetime(rpdf.t, unit="s")).sort_values("ts"),
+        on="ts", by="user", direction="backward",
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    for chunk in (500, 1000, 7000, 50_000):
+        got = {r.id: r.r_rid for r in
+               asof_join(left, right, by="user", chunk=chunk).collect()}
+        assert got == want, f"chunk={chunk}"
+
+    # multi-key: same answer as the unchunked mode
+    lpdf2 = lpdf.assign(user=rng.integers(0, 7, len(lpdf)).astype(str))
+    rpdf2 = rpdf.assign(user=rng.integers(0, 7, len(rpdf)).astype(str)) \
+        .drop_duplicates(["user", "t"])
+    left2 = spark.createDataFrame(lpdf2).select(
+        "id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right2 = spark.createDataFrame(rpdf2).select(
+        "rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    base = {r.id: r.r_rid for r in
+            asof_join(left2, right2, by="user").collect()}
+    got2 = {r.id: r.r_rid for r in
+            asof_join(left2, right2, by="user", chunk=777).collect()}
+    assert got2 == base
+
+
+def test_asof_chunked_multi_partition_plan(spark):
+    """The chunked mode's point, plan-asserted: the main as-of window
+    partitions by (key, chunk) — a mega-key spreads over span/chunk
+    window partitions instead of serializing into one task."""
+    import re
+
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, "k", i * 10) for i in range(100)], "id long, user string, t long"
+    ).select("id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1000 + i, "k", i * 25) for i in range(40)],
+        "rid long, user string, t long",
+    ).select("rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    out = asof_join(left, right, by="user", chunk=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big window's spec carries BOTH _k and _c as partition keys
+    assert re.search(r"windowspecdefinition\(_k#\d+, _c#\d+L, _ts", plan), plan
+    # and the data really lands in >1 chunk (10 chunks of 100 s here)
+    n_chunks = (
+        left.select(F.floor(F.unix_timestamp("ts") / 100))
+        .distinct().count()
+    )
+    assert n_chunks == 10
+
+
 def test_range_join_property_vs_naive_join(spark):
     """Randomized (seeded) equivalence: the bucketed range join ==
     the naive conditional BETWEEN join, across bucket widths."""
