@@ -83,6 +83,12 @@ OPS_SCALED = ["asof_join_x", "range_join_x", "unigram_logprob_x"]
 # (production regime: partition count bounded by cores, not volume)
 OPS_CORRECTED = ["range_join_shuffle_x", "unigram_logprob_smallpart_x",
                  "asof_join_smallpart_x"]
+# r5 feature evidence: the chunked as-of join on a LITERAL mega-key
+# (every row one key — the documented serialization bound of the
+# default mode). Only the chunked mode is measured: the unchunked
+# mega-key is a single window task by design (pinned in tests) and
+# timing a deliberate serial path at two core counts proves nothing.
+OPS_MEGA = ["asof_join_megachunk_x"]
 # smaller corpus for the streaming-loop pair: same shape as CORPUS,
 # sized so the local[SCALE_N] side stays under ~1 min
 OPS_CORPUS = dict(seed=42, n_hosts=24, pages_per_host=1400, mega_factor=2,
@@ -267,6 +273,19 @@ def run_ops(cores: int) -> dict:
     materialize(asof_join(purchases, clicks, by="user_id"))
     out["asof_join_smallpart_x"] = round(time.monotonic() - t0, 3)
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+    # r5 chunked as-of on a literal mega-key: every row shares ONE key
+    # (the default mode's documented serialization bound); chunk=1 day
+    # spreads the key across ~140 time chunks (events span ~141 days),
+    # so the window stage parallelizes by chunk instead of by key
+    mega = ev.withColumn("user_id", F.lit("mega-host"))
+    t0 = time.monotonic()
+    materialize(asof_join(
+        mega.select("event_id", "user_id", "ts"),
+        mega.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        by="user_id", chunk=86_400,
+    ))
+    out["asof_join_megachunk_x"] = round(time.monotonic() - t0, 3)
 
     # stream_crawl on the SAME corpus as the batch 0.8 gate (r4
     # verdict #7): the r4 pair ran on a 10x smaller corpus where fixed
@@ -681,7 +700,7 @@ def main():
             # replicated-input forms: real per-operator scaling signal
             # (the *_shuffle/*_smallpart variants are the r4-verdict
             # corrected-regime experiments — see run_ops)
-            for name in OPS_SCALED + OPS_CORRECTED:
+            for name in OPS_SCALED + OPS_CORRECTED + OPS_MEGA:
                 scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_N}"] = ops_s[name]
                 scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_4N}"] = ops_b[name]
                 scaling[f"{name}{OPS_SCALE_REP}_scaling_efficiency"] = round(
@@ -727,6 +746,9 @@ def main():
         write_bench_md(small, big, eff, eff_steady, all_effs, eff_median,
                        ops_s, ops_b, prio)
 
+    # the query suite gets its own quiet-window budget: a dirty window
+    # here is what produced r4's phantom per-query regressions
+    wait_for_quiet_window([120.0])
     t0 = time.monotonic()
     qtimes = run_queries()
     qtotal = round(time.monotonic() - t0, 2)
@@ -799,6 +821,12 @@ def _ops_md(ops_s, ops_b) -> str:
             continue
         e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
         rows.append(f"| {name}{OPS_SCALE_REP} (corrected regime) "
+                    f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+    for name in OPS_MEGA:
+        if name not in ops_s:
+            continue
+        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        rows.append(f"| {name}{OPS_SCALE_REP} (1 key, chunk=1 day) "
                     f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
     se = round(
         (ops_b["stream_crawl_urls_per_sec"]
