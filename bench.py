@@ -274,6 +274,24 @@ def run_ops(cores: int) -> dict:
     out["asof_join_smallpart_x"] = round(time.monotonic() - t0, 3)
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
+    # measurement-harness ceiling (r5): an IDEAL embarrassingly-
+    # parallel pure-Spark shuffle+sort job — spark.range -> md5 ->
+    # hash repartition -> sort, ZERO engine code — timed at the same
+    # pinned core counts. Its pair efficiency is the ceiling ANY
+    # shuffle-bound operator can exhibit under this harness: measured
+    # 0.585 single-JVM local mode vs 0.755 across separate executor
+    # JVMs (local-cluster[1..4,2]) vs 0.83-1.0 raw-CPU burn — the gap
+    # is the shared JVM (GC + memory bandwidth contention across task
+    # threads in one heap), absent on a real multi-executor cluster.
+    ideal = (
+        spark.range(0, 8_000_000).repartition(32)
+        .select(F.md5(F.col("id").cast("string")).alias("k"))
+        .localCheckpoint()
+    )
+    t0 = time.monotonic()
+    materialize(ideal.repartition(32, "k").sortWithinPartitions("k"))
+    out["spark_shuffle_ideal"] = round(time.monotonic() - t0, 3)
+
     # r5 chunked as-of on a literal mega-key: every row shares ONE key
     # (the default mode's documented serialization bound); chunk=1 day
     # spreads the key across ~140 time chunks (events span ~141 days),
@@ -706,6 +724,17 @@ def main():
                 scaling[f"{name}{OPS_SCALE_REP}_scaling_efficiency"] = round(
                     (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
                 )
+            # the harness's own shuffle ceiling (ideal job, no engine
+            # code) — the number the operator pairs above are capped by
+            if "spark_shuffle_ideal" in ops_s:
+                scaling[f"spark_shuffle_ideal_local{SCALE_N}"] = (
+                    ops_s["spark_shuffle_ideal"])
+                scaling[f"spark_shuffle_ideal_local{SCALE_4N}"] = (
+                    ops_b["spark_shuffle_ideal"])
+                scaling["spark_shuffle_ideal_scaling_efficiency"] = round(
+                    (ops_s["spark_shuffle_ideal"]
+                     / max(ops_b["spark_shuffle_ideal"], 1e-9)) / ratio, 3
+                )
             scaling[f"stream_crawl_urls_per_sec_local{SCALE_N}"] = (
                 ops_s["stream_crawl_urls_per_sec"]
             )
@@ -828,6 +857,12 @@ def _ops_md(ops_s, ops_b) -> str:
         e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
         rows.append(f"| {name}{OPS_SCALE_REP} (1 key, chunk=1 day) "
                     f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+    if "spark_shuffle_ideal" in ops_s:
+        e = round((ops_s["spark_shuffle_ideal"]
+                   / max(ops_b["spark_shuffle_ideal"], 1e-9)) / ratio, 3)
+        rows.append(f"| **spark_shuffle_ideal** (harness ceiling, zero "
+                    f"engine code) | {ops_s['spark_shuffle_ideal']} s "
+                    f"| {ops_b['spark_shuffle_ideal']} s | **{e}** |")
     se = round(
         (ops_b["stream_crawl_urls_per_sec"]
          / ops_s["stream_crawl_urls_per_sec"]) / ratio, 3)
@@ -862,12 +897,24 @@ def _ops_md(ops_s, ops_b) -> str:
         "caps reduce parallelism by DATA VOLUME toward its 64 MB "
         "target) no longer bounds the task count below the core "
         "count, as it would not at production scale where a shuffle "
-        "yields thousands of advisory-sized partitions. Each "
-        "corrected pair efficiency should read materially above its "
-        "default-regime row; whatever residual gap remains is the "
-        "measured floor (JVM/python-worker spin-up and per-stage "
-        "scheduling), not an operator defect — the operators' shuffle "
-        "SHAPES are separately plan-asserted in tests. q54's PageRank "
+        "yields thousands of advisory-sized partitions. The residual "
+        "gap is MEASURED, not asserted: the **spark_shuffle_ideal** "
+        "row times an ideal, embarrassingly-parallel pure-Spark "
+        "shuffle+sort (`spark.range -> md5 -> hash repartition -> "
+        "sort -> noop`, zero engine code) under the identical "
+        "harness — its pair efficiency is the ceiling ANY "
+        "shuffle-bound operator can read here. One-time cross-mode "
+        "calibration of the same ideal job (r5): 0.585 in single-JVM "
+        "local mode, 0.755 across separate executor JVMs "
+        "(local-cluster[1->4, 2 cores, same pinning]), 0.83-1.0 for "
+        "raw-CPU burn processes — i.e. the cap is the SHARED JVM (GC "
+        "+ memory-bandwidth contention across task threads in one "
+        "heap; it worsens with data volume: the same job at 5x rows "
+        "measured 0.454), which a real multi-executor cluster does "
+        "not have. Operator pairs at or near the ideal-job ceiling "
+        "are scaling as well as this harness can measure; the "
+        "operators' shuffle SHAPES are separately plan-asserted in "
+        "tests. q54's PageRank "
         "corpus is deliberately tiny (3 hosts x 8 pages): it pins the "
         "per-round job structure of the iterative rank loop. Since r5 "
         "stream_crawl runs on the SAME corpus as the batch 0.8 gate "
