@@ -65,11 +65,11 @@ def asof_join(
     right-side reduce and the chunk-index carry), so keep the default
     unchunked mode when key cardinality >> cores. Unchunked shape
     pinned by ``test_asof_mega_key_single_partition``; chunked shape
-    by ``test_asof_chunked_multi_partition_plan``. One edge-case
-    divergence from the unchunked mode: rows with a NULL timestamp
-    land in a NULL chunk of their own (unchunked, a NULL-ts right row
-    sorts first within the key and can match any left row) — garbage
-    timestamps stay quarantined instead of leaking matches.
+    by ``test_asof_chunked_multi_partition_plan``. NULL timestamps
+    stay consistent with the unchunked NULLS-FIRST sort: both sides'
+    NULL-ts rows land in a NULL chunk that orders before every real
+    chunk, and its latest right row carries forward — verified
+    equal-output in ``test_asof_chunked_null_ts_matches_unchunked``.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]

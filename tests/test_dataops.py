@@ -1002,6 +1002,30 @@ def test_asof_chunked_property_vs_pandas_merge_asof(spark):
     assert got2 == base
 
 
+def test_asof_chunked_null_ts_matches_unchunked(spark):
+    """NULL timestamps: the chunked mode's NULL chunk sorts before
+    every real chunk (same NULLS-FIRST order as the unchunked sort),
+    so outputs must match — a NULL-ts right row is the 'earliest'
+    right row either way, and NULL-ts left rows can only match
+    NULL-ts right rows."""
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", None), (2, "k", 50), (3, "k", 500)],
+        "id long, user string, t long",
+    ).select("id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, "k", None), (101, "k", 10), (102, "k", 400)],
+        "rid long, user string, t long",
+    ).select("rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    base = sorted((r.id, r.r_rid)
+                  for r in asof_join(left, right, by="user").collect())
+    got = sorted((r.id, r.r_rid)
+                 for r in asof_join(left, right, by="user",
+                                    chunk=100).collect())
+    assert got == base == [(1, 100), (2, 101), (3, 102)]
+
+
 def test_asof_chunked_multi_partition_plan(spark):
     """The chunked mode's point, plan-asserted: the main as-of window
     partitions by (key, chunk) — a mega-key spreads over span/chunk
