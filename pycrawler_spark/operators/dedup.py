@@ -346,3 +346,122 @@ def dup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).alias("is_canonical"),
     )
+
+
+# --- Winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    sql_twin: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): hash every k-token shingle, take the minimum hash of
+    each sliding window of ``window`` consecutive shingle hashes, and
+    keep the distinct minima as the document's fingerprint set.
+    Guarantees every shared run of >= k+window-1 tokens between two
+    documents yields at least one shared fingerprint, so
+    ``fingerprint_dup_pairs`` finds containment/partial overlap that
+    whole-document MinHash dilutes (a 10-page doc quoting one page of
+    another still collides on that page's fingerprints).
+
+    Scale design: winnowing is a per-document computation, so the
+    whole operator is array expressions inside one projection —
+    shingle, hash, window-min, and dedup all happen in
+    ``transform``/``slice``/``array_min``/``array_distinct`` BEFORE
+    the single explode. ZERO shuffles, zero Window functions, no
+    Python; at 100 TB this is a map-only stage that scales linearly
+    with input splits (plan pinned by
+    ``test_winnow_plan_has_no_exchange``).
+
+    Hashing: default is ``xxhash64`` (cheapest JVM hash). With
+    ``sql_twin=True`` the hash is the md5-prefix bigint used by the
+    DuckDB oracle (same pattern as q27_host_bucket). WHICH shingle
+    positions become fingerprints depends on the hash ordering, so the
+    two variants select different (similar-sized) fingerprint sets —
+    the shared-run guarantee above holds under either; only consume
+    fingerprints produced with one hash consistently.
+
+    A pure-Python reference of the same algorithm (different hash) is
+    ``textkit.winnow_fingerprint``; equivalence of the structure is
+    tested in ``test_winnow_matches_python_reference``.
+
+    Returns (id_col, fp: long), distinct per document. Documents with
+    fewer than k+window-1 tokens have no complete window and are
+    absent (matching the reference semantics of "too short to
+    fingerprint").
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def _hash(s: Column) -> Column:
+        if sql_twin:
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(s)
+
+    # shingle hashes at every start offset 0..n-k (guarded: only built
+    # when at least one complete window exists)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: _hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    # window minima at every window start 0..(n-k+1)-window
+    fps = F.when(
+        n >= k + window - 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k - window + 1),
+                lambda p: F.array_min(F.slice(hashes, p + 1, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(id_col, F.explode(fps).alias("fp"))
+
+
+def fingerprint_dup_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup / containment pairs from winnow fingerprints
+    (MOSS-style): self-join on fp, count shared fingerprints per pair,
+    keep pairs sharing >= ``min_shared``.
+
+    Scale design: the shuffle key is the 64-bit fingerprint — high
+    cardinality, near-uniform (it is a hash), so the equi-join
+    partitions evenly. The skew risk is boilerplate fingerprints
+    shared by MILLIONS of docs (cookie banners, license headers): one
+    hot fp makes a quadratic join output. ``max_df`` caps document
+    frequency — fingerprints in more than max_df docs are dropped
+    before the self-join (one extra fp-keyed agg, map-side combined;
+    the standard MOSS/plagiarism-index mitigation, and the analog of
+    q46's boilerplate removal). At web scale always set it; default
+    None keeps small corpora exact.
+
+    Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

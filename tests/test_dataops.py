@@ -1493,3 +1493,103 @@ def test_asof_join_single_shuffle_plan(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan, bad
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+def _py_winnow_md5(text, k=5, window=4):
+    """Independent pure-Python reimplementation of the md5-twin
+    winnowing (hashlib, no Spark): the test oracle for
+    winnow_fingerprints(sql_twin=True)."""
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    if n < k + window - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(n - k + 1)
+    ]
+    return {min(hs[p:p + window]) for p in range(len(hs) - window + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    from pycrawler_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "a b c d e f g h i j k l m"),
+        (1, "a b c d e f g h"),                      # exactly k+window-1 tokens
+        (2, "a b c d e f g"),                        # one short -> no fingerprint
+        (3, "x " * 40 + "unique tail of document three"),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, sql_twin=True).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    want = {i: _py_winnow_md5(t) for i, t in rows if _py_winnow_md5(t)}
+    assert got == want
+    assert 2 not in got  # too short to fingerprint
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core guarantee: any shared token run of length >=
+    k+window-1 produces at least one shared fingerprint — under BOTH
+    hash variants (the guarantee is hash-independent even though the
+    selected sets are not)."""
+    from pycrawler_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    rows = [
+        (0, "one two three " + shared + " four five six"),
+        (1, "seven eight " + shared + " nine ten eleven twelve"),
+        (2, "totally disjoint words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for twin in (False, True):
+        fps = {}
+        for r in winnow_fingerprints(df, sql_twin=twin).collect():
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+        assert fps[0] & fps[1], f"no shared fingerprint (sql_twin={twin})"
+        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnow_plan_has_no_exchange(spark, docs):
+    """The scale claim, plan-asserted: winnowing is a map-only stage —
+    shingle hashes, window minima, and the per-doc distinct all happen
+    in array expressions inside one projection, so the executed plan
+    has ZERO shuffles and no Window operator."""
+    from pycrawler_spark.operators.dedup import winnow_fingerprints
+
+    plan = (
+        winnow_fingerprints(docs)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "Window" not in plan, plan
+
+
+def test_fingerprint_dup_pairs_and_max_df(spark):
+    from pycrawler_spark.operators.dedup import (
+        fingerprint_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    base = "shared prefix run of many common tokens continuing onward here"
+    rows = [
+        (0, base + " tail zero"),
+        (1, base + " tail one"),
+        (2, base + " tail two"),
+        (3, "entirely different content with its own vocabulary set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, sql_twin=True)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in fingerprint_dup_pairs(fps, min_shared=1).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    # boilerplate cap: every shared fp here appears in all 3 docs, so
+    # max_df=2 drops them all and no pair survives
+    assert fingerprint_dup_pairs(fps, min_shared=1, max_df=2).count() == 0
