@@ -58,6 +58,9 @@ HEADLINE = [
     # round-3 operators, benched since round 4 (VERDICT r3 item 7)
     "q52_asof_join", "q53_range_join", "q54_pagerank",
     "q55_unigram_logprob",
+    # round-5 winnowing (also the regression pin for the r5
+    # staged-projection fix: nested-HOF quadratic re-evaluation)
+    "q57_winnow_fingerprint", "q58_fingerprint_dup_pairs",
 ]
 
 # operator scaling pairs (round 4): the r3-added operators measured at
@@ -89,6 +92,19 @@ OPS_CORRECTED = ["range_join_shuffle_x", "unigram_logprob_smallpart_x",
 # mega-key is a single window task by design (pinned in tests) and
 # timing a deliberate serial path at two core counts proves nothing.
 OPS_MEGA = ["asof_join_megachunk_x"]
+# r5 map-only contrast: winnowing fingerprints are ZERO-shuffle (one
+# projection + explode, plan-pinned by test_winnow_plan_has_no_exchange),
+# so unlike every pair above this one is NOT capped by the shared-JVM
+# shuffle ceiling (spark_shuffle_ideal ~0.585) — it should read near
+# the host's raw-CPU 4x ceiling (0.83-0.87). Together the two ceilings
+# bracket the harness: shuffle-bound operators land at the former,
+# map-only stages at the latter, and that separation is measured, not
+# asserted. Winnowing runs ~0.2 ms/doc (after the r5 staged-projection
+# fix removed a quadratic lambda re-evaluation — see
+# operators/dedup.py:winnow_fingerprints), so it gets its OWN
+# replication factor sized for ~60 s at local[2].
+OPS_MAPONLY = ["winnow_fp_x"]
+WINNOW_REP = int(os.environ.get("SPARK_GRAFT_WINNOW_REP", "64"))
 # smaller corpus for the streaming-loop pair: same shape as CORPUS,
 # sized so the local[SCALE_N] side stays under ~1 min
 OPS_CORPUS = dict(seed=42, n_hosts=24, pages_per_host=1400, mega_factor=2,
@@ -152,7 +168,9 @@ def run_ops_pinned(cores: int) -> dict:
 
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
            os.path.abspath(__file__), "--ops-worker", str(cores)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    # 900 -> 1200 when the winnow pair landed: the local[SCALE_N] side
+    # carries ~60 s of winnowing on top of the existing suite
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
             return _json.loads(line)
@@ -194,8 +212,8 @@ def run_ops(cores: int) -> dict:
     from pycrawler_spark.operators.quality import unigram_logprob_scores
     from pycrawler_spark.operators.temporal import asof_join, range_join
 
-    def replicate(df, key_col):
-        reps = F.array(*[F.lit(i) for i in range(OPS_SCALE_REP)])
+    def replicate(df, key_col, rep=OPS_SCALE_REP):
+        reps = F.array(*[F.lit(i) for i in range(rep)])
         return (
             df.withColumn("_r", F.explode(reps))
             .withColumn(key_col, F.concat(
@@ -244,6 +262,20 @@ def run_ops(cores: int) -> dict:
     t0 = time.monotonic()
     materialize(unigram_logprob_scores(docs))
     out["unigram_logprob_x"] = round(time.monotonic() - t0, 3)
+
+    # map-only contrast (see OPS_MAPONLY comment): zero-shuffle
+    # winnowing on its own smaller replication — the pair that should
+    # read near the raw-CPU ceiling rather than the shuffle ceiling
+    from pycrawler_spark.operators.dedup import winnow_fingerprints
+
+    docs_w = replicate(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "doc_id", rep=WINNOW_REP,
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    materialize(winnow_fingerprints(docs_w))
+    out["winnow_fp_x"] = round(time.monotonic() - t0, 3)
+    docs_w.unpersist()
 
     # --- corrected-regime experiments (r4 verdict #3): the sub-0.8
     # pair efficiencies above were EXPLAINED as small-scale artifacts
@@ -724,6 +756,15 @@ def main():
                 scaling[f"{name}{OPS_SCALE_REP}_scaling_efficiency"] = round(
                     (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
                 )
+            # map-only (zero-shuffle) contrast pair — own replication
+            for name in OPS_MAPONLY:
+                if name not in ops_s:
+                    continue
+                scaling[f"{name}{WINNOW_REP}_local{SCALE_N}"] = ops_s[name]
+                scaling[f"{name}{WINNOW_REP}_local{SCALE_4N}"] = ops_b[name]
+                scaling[f"{name}{WINNOW_REP}_scaling_efficiency"] = round(
+                    (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
+                )
             # the harness's own shuffle ceiling (ideal job, no engine
             # code) — the number the operator pairs above are capped by
             if "spark_shuffle_ideal" in ops_s:
@@ -857,6 +898,12 @@ def _ops_md(ops_s, ops_b) -> str:
         e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
         rows.append(f"| {name}{OPS_SCALE_REP} (1 key, chunk=1 day) "
                     f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+    for name in OPS_MAPONLY:
+        if name not in ops_s:
+            continue
+        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        rows.append(f"| **{name}{WINNOW_REP}** (map-only, zero shuffle) "
+                    f"| {ops_s[name]} s | {ops_b[name]} s | **{e}** |")
     if "spark_shuffle_ideal" in ops_s:
         e = round((ops_s["spark_shuffle_ideal"]
                    / max(ops_b["spark_shuffle_ideal"], 1e-9)) / ratio, 3)
@@ -914,7 +961,12 @@ def _ops_md(ops_s, ops_b) -> str:
         "not have. Operator pairs at or near the ideal-job ceiling "
         "are scaling as well as this harness can measure; the "
         "operators' shuffle SHAPES are separately plan-asserted in "
-        "tests. q54's PageRank "
+        "tests. The **winnow_fp** row is the converse control: a "
+        "ZERO-shuffle map-only engine stage (one projection + "
+        "explode, plan-pinned) that is NOT subject to the shuffle "
+        "ceiling — it should read near the raw-CPU 4x ceiling "
+        "(0.83-0.87), and together the two ceilings bracket where "
+        "each operator class can land under this harness. q54's PageRank "
         "corpus is deliberately tiny (3 hosts x 8 pages): it pins the "
         "per-round job structure of the iterative rank loop. Since r5 "
         "stream_crawl runs on the SAME corpus as the batch 0.8 gate "

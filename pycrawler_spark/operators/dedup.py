@@ -87,13 +87,21 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle should pass it here rather than re-joining the source
     table, which would re-shuffle the explode's occurrence-sized
     output on the id key."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # stage the split as a real column: referencing `split(text)`
+    # inside the transform lambda re-evaluates it once PER OFFSET
+    # (HOF lambdas have no subexpression caching) — O(n) splits of the
+    # full text per document. The double reference below (size +
+    # slice) keeps CollapseProject from re-inlining it.
+    toks_df = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    n = F.size(F.col("_toks"))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k)),
     )
-    return df.select(
+    return toks_df.select(
         id_col, *extra_cols,
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
@@ -369,13 +377,16 @@ def winnow_fingerprints(
     another still collides on that page's fingerprints).
 
     Scale design: winnowing is a per-document computation, so the
-    whole operator is array expressions inside one projection —
-    shingle, hash, window-min, and dedup all happen in
+    whole operator is array expressions inside a short chain of
+    projections — shingle, hash, window-min, and dedup all happen in
     ``transform``/``slice``/``array_min``/``array_distinct`` BEFORE
     the single explode. ZERO shuffles, zero Window functions, no
     Python; at 100 TB this is a map-only stage that scales linearly
     with input splits (plan pinned by
-    ``test_winnow_plan_has_no_exchange``).
+    ``test_winnow_plan_has_no_exchange``). The projection chain is
+    load-bearing, not style — see the inline comment on lambda
+    re-evaluation (collapsing it into one nested expression makes the
+    operator quadratic per document).
 
     Hashing: default is ``xxhash64`` (cheapest JVM hash). With
     ``sql_twin=True`` the hash is the md5-prefix bigint used by the
@@ -394,31 +405,50 @@ def winnow_fingerprints(
     absent (matching the reference semantics of "too short to
     fingerprint").
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-
     def _hash(s: Column) -> Column:
         if sql_twin:
             return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         return F.xxhash64(s)
 
-    # shingle hashes at every start offset 0..n-k (guarded: only built
-    # when at least one complete window exists)
-    hashes = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: _hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    )
-    # window minima at every window start 0..(n-k+1)-window
-    fps = F.when(
+    empty = F.array().cast("array<bigint>")
+
+    # STAGED projections, deliberately: higher-order-function lambdas
+    # are evaluated per element with NO common-subexpression caching,
+    # so nesting `hashes` (itself a transform over `split(text)`)
+    # inside the window-min lambda re-evaluates the whole shingle-hash
+    # array — including the split — once per window position: O(n^2)
+    # hash evaluations and O(n^2) text splits per document. Measured
+    # 51 ms/doc on 54-token documents in that form. Each intermediate
+    # is therefore materialized as a real column and referenced more
+    # than once in the next stage, which keeps CollapseProject from
+    # re-inlining the expensive expression back into the lambda
+    # (it only inlines single-use or trivially-cheap producers).
+    toks_df = df.select(F.col(id_col), F.split(F.col(text_col), " ")
+                        .alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # shingle hashes at every start offset 0..n-k (guarded: a doc with
+    # no complete window gets an empty array, not sequence(0, <0))
+    hashes = F.when(
         n >= k + window - 1,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: _hash(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+        ),
+    ).otherwise(empty)
+    hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
+    # window minima at every window start 0..size(_hs)-window
+    m = F.size(F.col("_hs"))
+    fps = F.when(
+        m >= window,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), n - k - window + 1),
-                lambda p: F.array_min(F.slice(hashes, p + 1, window)),
+                F.sequence(F.lit(0), m - window),
+                lambda p: F.array_min(F.slice(F.col("_hs"), p + 1, window)),
             )
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(id_col, F.explode(fps).alias("fp"))
+    ).otherwise(empty)
+    return hs_df.select(id_col, F.explode(fps).alias("fp"))
 
 
 def fingerprint_dup_pairs(

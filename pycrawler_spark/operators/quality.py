@@ -18,12 +18,18 @@ def _gram_occurrences(
 ) -> DataFrame:
     """All n-gram OCCURRENCES per doc (non-distinct, unlike
     dedup.shingle): one row per position."""
-    toks = F.split(F.col(text_col), " ")
+    # split staged as a column: inside the transform lambda it would
+    # re-evaluate once per offset (no subexpression caching in HOF
+    # lambdas) — O(n) splits of the text per document. The size+slice
+    # double reference keeps CollapseProject from re-inlining it.
+    toks_df = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    n_toks = F.size(F.col("_toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(n_toks - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
-    return docs.select(id_col, F.explode(grams).alias("gram"))
+    return toks_df.select(id_col, F.explode(grams).alias("gram"))
 
 
 def ngram_repetition_stats(
