@@ -47,30 +47,84 @@ def ngram_repetition_stats(
       trigram appears more than once in the document (Gopher's
       "fraction in duplicated n-grams").
 
-    Shuffle shape: two (doc_id, md5(gram)) aggregations — the gram
-    text itself reduces to a 16-byte key before any exchange.
+    Shuffle shape: NONE. Both signals are within-document statistics,
+    so exploding grams into rows and aggregating them back (the
+    pre-r5 form: two explode -> groupBy(doc, md5(gram)) ->
+    groupBy(doc) chains plus a join — five exchanges of
+    occurrence-sized data) moves data between executors only to bring
+    it back to the row it came from. Instead each document sorts its
+    gram-hash array and folds run lengths in ONE ``aggregate`` pass:
+    the longest run is the top gram count, runs of length >= 2 are
+    the duplicated occurrences. Pure map stage — at 100 TB it scales
+    with input splits and shuffles nothing (plan pinned by
+    ``test_ngram_repetition_plan_no_exchange``). Gram identity is
+    md5(gram) in both forms, so the output is bit-identical to the
+    relational formulation (oracle-checked as q48).
     """
-    bi = _gram_occurrences(docs, 2, text_col, id_col)
-    bi_cnt = bi.groupBy(id_col, F.md5("gram").alias("g")).agg(
-        F.count("*").alias("c")
+    toks_df = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    n_toks = F.size(F.col("_toks"))
+
+    def sorted_gram_hashes(k: int) -> Column:
+        return F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.greatest(n_toks - k, F.lit(0))),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+        ))
+
+    # staged (multi-referenced below) so CollapseProject keeps the
+    # sort out of the consuming aggregate lambdas
+    grams_df = toks_df.select(
+        F.col(id_col),
+        sorted_gram_hashes(2).alias("_g2"),
+        sorted_gram_hashes(3).alias("_g3"),
     )
-    bi_stats = bi_cnt.groupBy(id_col).agg(
-        (F.max("c") / F.sum("c")).alias("_top_share")
-    )
-    tri = _gram_occurrences(docs, 3, text_col, id_col)
-    tri_cnt = tri.groupBy(id_col, F.md5("gram").alias("g")).agg(
-        F.count("*").alias("c")
-    )
-    tri_stats = tri_cnt.groupBy(id_col).agg(
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-            / F.sum("c")
-        ).alias("_dup_frac")
-    )
-    return bi_stats.join(tri_stats, id_col).select(
-        id_col,
-        F.round("_top_share", 4).alias("top_bigram_share"),
-        F.round("_dup_frac", 4).alias("dup_trigram_frac"),
+
+    def max_run(arr: Column) -> Column:
+        """Length of the longest run of equal values in a SORTED
+        array == the count of the most frequent value."""
+        return F.aggregate(
+            arr,
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    def dup_occurrences(arr: Column) -> Column:
+        """Number of elements of a SORTED array whose value occurs
+        more than once: a run's 2nd element retroactively counts the
+        1st (+2), later elements +1 each."""
+        return F.aggregate(
+            arr,
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("dups")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                .alias("run"),
+                (acc.dups + F.when(
+                    x == acc.prev,
+                    F.when(acc.run == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0))).alias("dups"),
+            ),
+            lambda acc: acc.dups,
+        )
+
+    return grams_df.select(
+        F.col(id_col),
+        F.round(max_run(F.col("_g2")) / F.size(F.col("_g2")), 4)
+        .alias("top_bigram_share"),
+        F.round(dup_occurrences(F.col("_g3")) / F.size(F.col("_g3")), 4)
+        .alias("dup_trigram_frac"),
     )
 
 

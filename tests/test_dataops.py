@@ -680,6 +680,61 @@ def test_ngram_repetition_stats(spark):
     assert out[2].dup_trigram_frac == 0.0
 
 
+def test_ngram_repetition_matches_relational_form(spark):
+    """The r5 zero-shuffle (sorted-run-fold) form must be bit-identical
+    to the original relational formulation (explode -> count per
+    (doc, md5(gram)) -> per-doc stats), here replayed in-test."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pycrawler_spark.operators.quality import ngram_repetition_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ] + [(60, "solo"), (61, "two tokens"), (62, "x x x x x x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def relational(k, agg):
+        toks = F.split(F.col("text"), " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        cnt = (docs.select("doc_id", F.explode(grams).alias("gram"))
+               .groupBy("doc_id", F.md5("gram").alias("g"))
+               .agg(F.count("*").alias("c")))
+        return cnt.groupBy("doc_id").agg(agg.alias("v"))
+
+    bi = relational(2, F.max("c") / F.sum("c"))
+    tri = relational(
+        3, F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        / F.sum("c"))
+    want = {
+        r.doc_id: (round(r.top, 4), round(r.dup, 4))
+        for r in bi.join(tri.withColumnRenamed("v", "dup"), "doc_id")
+        .withColumnRenamed("v", "top").collect()
+    }
+    got = {r.doc_id: (r.top_bigram_share, r.dup_trigram_frac)
+           for r in ngram_repetition_stats(docs).collect()}
+    assert got == want
+
+
+def test_ngram_repetition_plan_no_exchange(spark, docs):
+    """The scale claim: both Gopher repetition signals are
+    within-document, so the operator is a pure map stage — zero
+    shuffles, no Window, no join."""
+    from pycrawler_spark.operators.quality import ngram_repetition_stats
+
+    plan = (ngram_repetition_stats(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Exchange") == 0, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
 def test_group_quality_rollup(spark):
     from pycrawler_spark.operators.quality import group_quality_rollup
 
