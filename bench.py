@@ -99,12 +99,13 @@ OPS_MEGA = ["asof_join_megachunk_x"]
 # the host's raw-CPU 4x ceiling (0.83-0.87). Together the two ceilings
 # bracket the harness: shuffle-bound operators land at the former,
 # map-only stages at the latter, and that separation is measured, not
-# asserted. Winnowing runs ~0.2 ms/doc (after the r5 staged-projection
-# fix removed a quadratic lambda re-evaluation — see
+# asserted. Winnowing runs ~50 us-core/doc after the two r5 fixes
+# (staged projections removed a quadratic lambda re-evaluation;
+# variadic xxhash64 removed the per-position string building — see
 # operators/dedup.py:winnow_fingerprints), so it gets its OWN
-# replication factor sized for ~60 s at local[2].
+# replication factor sized for ~30 s at local[2].
 OPS_MAPONLY = ["winnow_fp_x"]
-WINNOW_REP = int(os.environ.get("SPARK_GRAFT_WINNOW_REP", "64"))
+WINNOW_REP = int(os.environ.get("SPARK_GRAFT_WINNOW_REP", "256"))
 # smaller corpus for the streaming-loop pair: same shape as CORPUS,
 # sized so the local[SCALE_N] side stays under ~1 min
 OPS_CORPUS = dict(seed=42, n_hosts=24, pages_per_host=1400, mega_factor=2,
@@ -963,10 +964,25 @@ def _ops_md(ops_s, ops_b) -> str:
         "operators' shuffle SHAPES are separately plan-asserted in "
         "tests. The **winnow_fp** row is the converse control: a "
         "ZERO-shuffle map-only engine stage (one projection + "
-        "explode, plan-pinned) that is NOT subject to the shuffle "
-        "ceiling — it should read near the raw-CPU 4x ceiling "
-        "(0.83-0.87), and together the two ceilings bracket where "
-        "each operator class can land under this harness. q54's PageRank "
+        "explode, plan-pinned), NOT subject to the shuffle ceiling. "
+        "The r5 calibration of this row is a measured lesson in what "
+        "DOES cap a map stage on one host: the original "
+        "string-building form (concat_ws(slice(toks)) + xxhash64 per "
+        "position) pegged all 16 cores while wall time stayed FLAT "
+        "from 8 cores up (rep64: local[2] 21-23 s, local[8] 9.9 s, "
+        "local[16] 8.3-9.8 s, ~3x CPU inflation vs 2 cores), and "
+        "separate executor JVMs did NOT lift it "
+        "(local-cluster[1,2] 16.0 s vs [4,2] 10.3 s, pair 0.39) — "
+        "i.e. the binding constraint was HOST memory bandwidth / "
+        "allocation rate, not the shared heap and not arithmetic. "
+        "Cutting the allocation rate (one variadic xxhash64 over the "
+        "k tokens per position, element_at instead of slice — zero "
+        "per-position strings/arrays) made the operator 2.7x faster "
+        "at 2 cores (7.9 s) and ~4-6x at 16 (1.5-2.8 s) and restored "
+        "scaling past 8 cores; a multi-NODE cluster adds memory "
+        "controllers with its cores, so the production regime "
+        "resembles the fixed form's scaling, not the flat wall. "
+        "q54's PageRank "
         "corpus is deliberately tiny (3 hosts x 8 pages): it pins the "
         "per-round job structure of the iterative rank loop. Since r5 "
         "stream_crawl runs on the SAME corpus as the batch 0.8 gate "

@@ -388,13 +388,20 @@ def winnow_fingerprints(
     re-evaluation (collapsing it into one nested expression makes the
     operator quadratic per document).
 
-    Hashing: default is ``xxhash64`` (cheapest JVM hash). With
-    ``sql_twin=True`` the hash is the md5-prefix bigint used by the
-    DuckDB oracle (same pattern as q27_host_bucket). WHICH shingle
-    positions become fingerprints depends on the hash ordering, so the
-    two variants select different (similar-sized) fingerprint sets —
-    the shared-run guarantee above holds under either; only consume
-    fingerprints produced with one hash consistently.
+    Hashing: the default path is one VARIADIC ``xxhash64`` over the k
+    token strings per position — no per-position string building, no
+    slice allocation. Allocation rate is the binding constraint, not
+    arithmetic: with the original concat-and-hash form the host
+    pegged all 16 cores while wall time stayed flat from 8 cores up
+    (~3x CPU inflation vs 2 cores — memory-bandwidth/GC saturation;
+    see BENCH.md). With ``sql_twin=True`` the
+    shingle hash is the md5-prefix bigint of the joined shingle text,
+    matching the DuckDB oracle (same pattern as q27_host_bucket).
+    WHICH shingle positions become fingerprints depends on the hash
+    ordering, so the two variants select different (similar-sized)
+    fingerprint sets — the shared-run guarantee above holds under
+    either; only consume fingerprints produced with one hash
+    consistently.
 
     A pure-Python reference of the same algorithm (different hash) is
     ``textkit.winnow_fingerprint``; equivalence of the structure is
@@ -405,11 +412,6 @@ def winnow_fingerprints(
     absent (matching the reference semantics of "too short to
     fingerprint").
     """
-    def _hash(s: Column) -> Column:
-        if sql_twin:
-            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        return F.xxhash64(s)
-
     empty = F.array().cast("array<bigint>")
 
     # STAGED projections, deliberately: higher-order-function lambdas
@@ -425,26 +427,57 @@ def winnow_fingerprints(
     # (it only inlines single-use or trivially-cheap producers).
     toks_df = df.select(F.col(id_col), F.split(F.col(text_col), " ")
                         .alias("_toks"))
-    n = F.size(F.col("_toks"))
-    # shingle hashes at every start offset 0..n-k (guarded: a doc with
-    # no complete window gets an empty array, not sequence(0, <0))
-    hashes = F.when(
-        n >= k + window - 1,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: _hash(
-                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
-        ),
-    ).otherwise(empty)
-    hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
-    # window minima at every window start 0..size(_hs)-window
+
+    if sql_twin:
+        # oracle twin: md5 of the joined shingle TEXT (DuckDB-matched)
+        n = F.size(F.col("_toks"))
+        hashes = F.when(
+            n >= k + window - 1,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.conv(F.substring(F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+                    1, 15), 16, 10).cast("long"),
+            ),
+        ).otherwise(empty)
+        hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
+    else:
+        # default path: one VARIADIC xxhash64 over the k token strings
+        # per position — a single expression node that consumes the
+        # tokens in order (position-sensitive seed chaining), with
+        # element_at instead of slice/concat_ws so the hot loop builds
+        # no per-position string or array at all. Interpreted HOF eval
+        # pays per expression NODE and per ALLOCATION; this form
+        # minimizes both (measured against a string-building variant
+        # and a rotate-xor token-hash fold — see BENCH.md).
+        n = F.size(F.col("_toks"))
+
+        def shingle_hash(i: Column) -> Column:
+            return F.xxhash64(*[
+                F.element_at(F.col("_toks"), i + 1 + j) for j in range(k)
+            ])
+
+        hashes = F.when(
+            n >= k + window - 1,
+            F.transform(F.sequence(F.lit(0), n - k), shingle_hash),
+        ).otherwise(empty)
+        hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
+
+    # window minima at every window start 0..size(_hs)-window; least()
+    # over element_at instead of array_min(slice()) — same value, no
+    # per-position array copy
     m = F.size(F.col("_hs"))
     fps = F.when(
         m >= window,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), m - window),
-                lambda p: F.array_min(F.slice(F.col("_hs"), p + 1, window)),
+                lambda p: (
+                    F.least(*[F.element_at(F.col("_hs"), p + 1 + j)
+                              for j in range(window)])
+                    if window > 1
+                    else F.element_at(F.col("_hs"), p + 1)
+                ),
             )
         ),
     ).otherwise(empty)

@@ -57,20 +57,36 @@ def ngram_repetition_stats(
     the longest run is the top gram count, runs of length >= 2 are
     the duplicated occurrences. Pure map stage — at 100 TB it scales
     with input splits and shuffles nothing (plan pinned by
-    ``test_ngram_repetition_plan_no_exchange``). Gram identity is
-    md5(gram) in both forms, so the output is bit-identical to the
-    relational formulation (oracle-checked as q48).
+    ``test_ngram_repetition_plan_no_exchange``). Gram identity is a
+    hash in both forms (md5 relationally, variadic xxhash64 here), so
+    the statistics are identical up to hash collisions (~2^-64 per
+    gram pair) — pinned bit-identical to the relational form by
+    ``test_ngram_repetition_matches_relational_form`` and the q48
+    oracle.
     """
     toks_df = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     n_toks = F.size(F.col("_toks"))
 
     def sorted_gram_hashes(k: int) -> Column:
-        return F.array_sort(F.transform(
-            F.sequence(F.lit(0), F.greatest(n_toks - k, F.lit(0))),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
-        ))
+        # gram identity = one variadic xxhash64 over the k token
+        # strings (position-sensitive seed chaining) — no per-position
+        # string building or slice allocation; counting runs of equal
+        # values only needs a CONSISTENT injective-enough key, not the
+        # gram text (same lesson as winnow_fingerprints; see BENCH.md).
+        # Docs shorter than k keep the degenerate "one gram = the
+        # whole doc" semantics of the relational form — element_at
+        # past the end would throw under ANSI, so that case is its
+        # own branch.
+        full = F.transform(
+            F.sequence(F.lit(0), n_toks - k),
+            lambda i: F.xxhash64(*[
+                F.element_at(F.col("_toks"), i + 1 + j) for j in range(k)
+            ]),
+        )
+        short = F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks"))))
+        return F.array_sort(
+            F.when(n_toks >= k, full).otherwise(short))
 
     # staged (multi-referenced below) so CollapseProject keeps the
     # sort out of the consuming aggregate lambdas
@@ -85,8 +101,8 @@ def ngram_repetition_stats(
         array == the count of the most frequent value."""
         return F.aggregate(
             arr,
-            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                     F.lit(0).alias("best")),
+            F.struct(F.lit(None).cast("bigint").alias("prev"),
+                     F.lit(0).alias("run"), F.lit(0).alias("best")),
             lambda acc, x: F.struct(
                 x.alias("prev"),
                 F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
@@ -105,8 +121,8 @@ def ngram_repetition_stats(
         1st (+2), later elements +1 each."""
         return F.aggregate(
             arr,
-            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                     F.lit(0).alias("dups")),
+            F.struct(F.lit(None).cast("bigint").alias("prev"),
+                     F.lit(0).alias("run"), F.lit(0).alias("dups")),
             lambda acc, x: F.struct(
                 x.alias("prev"),
                 F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
