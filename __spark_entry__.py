@@ -2197,9 +2197,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q56 (NEW: priority-mode scheduling), q57/q58 (NEW: winnowing
     # fingerprints + fingerprint-overlap pairs), q46 (single-exchange
     # rework), q52/q53 (temporal.py gained chunked-asof +
-    # lazy-validate paths this round), then q1..q35. Rotating out:
-    # q36, q37, q38, q39, q49, q51, q54, q55, media_features, ann_*,
-    # crawl_depth_counts — all r04-driver-green and untouched since.
+    # lazy-validate paths this round), then q1..q35. The late-r5
+    # hot-loop reworks (staged projections; variadic-xxhash gram
+    # identity; zero-shuffle q48) also touch q11-q13, q26, q28, q44,
+    # q48, q50 — all already inside the first 50 above/below.
+    # Rotating out: q36, q37, q38, q39, q49, q51, q54, q55,
+    # media_features, ann_*, crawl_depth_counts — all
+    # r04-driver-green and untouched since.
     "q40_lsh_blocked_cosine": _q40_lsh_blocked_cosine,
     "q41_gopher_quality": _q41_gopher_quality,
     "q42_dup_clusters": _q42_dup_clusters,
