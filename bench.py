@@ -276,7 +276,12 @@ def run_ops(cores: int) -> dict:
     t0 = time.monotonic()
     materialize(winnow_fingerprints(docs_w))
     out["winnow_fp_x"] = round(time.monotonic() - t0, 3)
-    docs_w.unpersist()
+    # NOTE: unpersist() would be a no-op here — it only uncaches
+    # CacheManager entries, not localCheckpoint RDD blocks. Dropping
+    # the reference lets ContextCleaner reclaim the blocks; until
+    # then the replicated docs (~0.5 GB of a 128 GB heap) stay
+    # resident, which is immaterial to the following experiments.
+    del docs_w
 
     # --- corrected-regime experiments (r4 verdict #3): the sub-0.8
     # pair efficiencies above were EXPLAINED as small-scale artifacts

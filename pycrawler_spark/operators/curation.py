@@ -125,8 +125,13 @@ def boilerplate_shingle_stats(
 
     from pycrawler_spark.operators.dedup import shingle
 
+    # NULL-id docs are dropped up front: the pre-r5 form attached the
+    # group column with an equi-join on id_col, which silently dropped
+    # them — without this filter they would now both count toward _nd
+    # (flipping n_boiler for real docs) and emit a NULL-id output row
     per_pair = shingle(
-        docs, text_col, id_col, k=k, extra_cols=[group_col]
+        docs.filter(F.col(id_col).isNotNull()),
+        text_col, id_col, k=k, extra_cols=[group_col],
     ).select(id_col, group_col, F.md5("shingle").alias("sh"))
     nd = F.count("*").over(Window.partitionBy(group_col, "sh"))
     return (

@@ -107,6 +107,21 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def token_shingle_hash(toks: Column, i: Column, k: int) -> Column:
+    """k-gram identity at 0-based offset ``i`` of an already-split
+    token array: ONE variadic ``xxhash64`` over the k token strings
+    (position-sensitive seed chaining), via ``element_at`` — no
+    per-position slice or concat_ws. Shared by
+    :func:`winnow_fingerprints` and
+    ``quality.ngram_repetition_stats`` so the calibrated hot-loop
+    pattern cannot drift between them: the binding constraint on
+    these map stages is host memory bandwidth from per-position
+    string building, not arithmetic (measured — see BENCH.md, r5).
+    Caller must guarantee ``i + k <= size(toks)``: ``element_at``
+    past the end throws under ANSI mode."""
+    return F.xxhash64(*[F.element_at(toks, i + 1 + j) for j in range(k)])
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 
 def minhash_signatures(
@@ -428,40 +443,29 @@ def winnow_fingerprints(
     toks_df = df.select(F.col(id_col), F.split(F.col(text_col), " ")
                         .alias("_toks"))
 
+    n = F.size(F.col("_toks"))
     if sql_twin:
         # oracle twin: md5 of the joined shingle TEXT (DuckDB-matched)
-        n = F.size(F.col("_toks"))
-        hashes = F.when(
-            n >= k + window - 1,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.conv(F.substring(F.md5(
-                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
-                    1, 15), 16, 10).cast("long"),
-            ),
-        ).otherwise(empty)
-        hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
+        def shingle_hash(i: Column) -> Column:
+            return F.conv(F.substring(F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+                1, 15), 16, 10).cast("long")
     else:
         # default path: one VARIADIC xxhash64 over the k token strings
-        # per position — a single expression node that consumes the
-        # tokens in order (position-sensitive seed chaining), with
-        # element_at instead of slice/concat_ws so the hot loop builds
-        # no per-position string or array at all. Interpreted HOF eval
-        # pays per expression NODE and per ALLOCATION; this form
-        # minimizes both (measured against a string-building variant
-        # and a rotate-xor token-hash fold — see BENCH.md).
-        n = F.size(F.col("_toks"))
-
+        # per position (token_shingle_hash) — a single expression node
+        # consuming the tokens in order, no per-position string or
+        # array allocation. Interpreted HOF eval pays per expression
+        # NODE and per ALLOCATION; this form minimizes both (measured
+        # against a string-building variant and a rotate-xor
+        # token-hash fold — see BENCH.md).
         def shingle_hash(i: Column) -> Column:
-            return F.xxhash64(*[
-                F.element_at(F.col("_toks"), i + 1 + j) for j in range(k)
-            ])
+            return token_shingle_hash(F.col("_toks"), i, k)
 
-        hashes = F.when(
-            n >= k + window - 1,
-            F.transform(F.sequence(F.lit(0), n - k), shingle_hash),
-        ).otherwise(empty)
-        hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
+    hashes = F.when(
+        n >= k + window - 1,
+        F.transform(F.sequence(F.lit(0), n - k), shingle_hash),
+    ).otherwise(empty)
+    hs_df = toks_df.select(F.col(id_col), hashes.alias("_hs"))
 
     # window minima at every window start 0..size(_hs)-window; least()
     # over element_at instead of array_min(slice()) — same value, no

@@ -13,25 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _gram_occurrences(
-    docs: DataFrame, n: int, text_col: str, id_col: str
-) -> DataFrame:
-    """All n-gram OCCURRENCES per doc (non-distinct, unlike
-    dedup.shingle): one row per position."""
-    # split staged as a column: inside the transform lambda it would
-    # re-evaluate once per offset (no subexpression caching in HOF
-    # lambdas) — O(n) splits of the text per document. The size+slice
-    # double reference keeps CollapseProject from re-inlining it.
-    toks_df = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-    n_toks = F.size(F.col("_toks"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_toks - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
-    )
-    return toks_df.select(id_col, F.explode(grams).alias("gram"))
-
-
 def ngram_repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,20 +50,20 @@ def ngram_repetition_stats(
     n_toks = F.size(F.col("_toks"))
 
     def sorted_gram_hashes(k: int) -> Column:
-        # gram identity = one variadic xxhash64 over the k token
-        # strings (position-sensitive seed chaining) — no per-position
-        # string building or slice allocation; counting runs of equal
-        # values only needs a CONSISTENT injective-enough key, not the
-        # gram text (same lesson as winnow_fingerprints; see BENCH.md).
+        # gram identity = dedup.token_shingle_hash (one variadic
+        # xxhash64 over the k token strings, element_at, zero
+        # per-position allocations): counting runs of equal values
+        # only needs a CONSISTENT injective-enough key, not the gram
+        # text (same lesson as winnow_fingerprints; see BENCH.md).
         # Docs shorter than k keep the degenerate "one gram = the
         # whole doc" semantics of the relational form — element_at
         # past the end would throw under ANSI, so that case is its
         # own branch.
+        from pycrawler_spark.operators.dedup import token_shingle_hash
+
         full = F.transform(
             F.sequence(F.lit(0), n_toks - k),
-            lambda i: F.xxhash64(*[
-                F.element_at(F.col("_toks"), i + 1 + j) for j in range(k)
-            ]),
+            lambda i: token_shingle_hash(F.col("_toks"), i, k),
         )
         short = F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks"))))
         return F.array_sort(

@@ -67,9 +67,12 @@ def asof_join(
     pinned by ``test_asof_mega_key_single_partition``; chunked shape
     by ``test_asof_chunked_multi_partition_plan``. NULL timestamps
     stay consistent with the unchunked NULLS-FIRST sort: both sides'
-    NULL-ts rows land in a NULL chunk that orders before every real
-    chunk, and its latest right row carries forward — verified
-    equal-output in ``test_asof_chunked_null_ts_matches_unchunked``.
+    NULL-ts rows land in a LONG_MIN sentinel chunk that orders before
+    every real chunk (a NULL chunk index would fall out of the
+    carry's equi-join), and its latest right row carries forward —
+    verified equal-output in
+    ``test_asof_chunked_null_ts_matches_unchunked`` and
+    ``test_asof_chunked_null_only_right_rows_carry``.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]
@@ -120,15 +123,35 @@ def asof_join(
             return F.unix_timestamp(c)
         return c.cast("double")
 
-    lc = l_tag.withColumn(
-        "_c", F.floor(_secs(l_tag) / F.lit(chunk)).cast("long"))
-    rc = r_tag.withColumn(
-        "_c", F.floor(_secs(r_tag) / F.lit(chunk)).cast("long"))
+    # NULL-ts rows land in a SENTINEL chunk (LONG_MIN) rather than a
+    # NULL chunk index: the carry below attaches r_last with an
+    # equi-join on (_k, _c), and NULL join keys never match — a NULL
+    # chunk would silently fall out of the carry (pinned by
+    # test_asof_chunked_null_only_right_rows_carry). LONG_MIN orders
+    # before every real chunk, preserving the NULLS-FIRST semantics.
+    _null_chunk = F.lit(-(2 ** 63)).cast("long")
+
+    def _chunk_of(df: DataFrame) -> F.Column:
+        return F.coalesce(
+            F.floor(_secs(df) / F.lit(chunk)).cast("long"), _null_chunk)
+
+    lc = l_tag.withColumn("_c", _chunk_of(l_tag))
+    rc = r_tag.withColumn("_c", _chunk_of(r_tag))
     # latest right row per (key, chunk) — reduced map-side; ties at
     # equal _ts are arbitrary, matching the unchunked sort's tie
-    # behavior among duplicate right timestamps
+    # behavior among duplicate right timestamps. The ordering key is a
+    # (is-not-null, ts) struct, NOT the bare _ts: max_by skips rows
+    # whose ordering value is NULL, which would silently drop the
+    # NULL-timestamp chunk's rows from the carry — unchunked
+    # NULLS-FIRST semantics instead treat a NULL-ts right row as the
+    # earliest possible match, so it must carry forward when no real
+    # right row precedes (pinned by
+    # test_asof_chunked_null_only_right_rows_carry).
     r_last = rc.groupBy("_k", "_c").agg(
-        F.max_by("_rv", "_ts").alias("_rvl"))
+        F.max_by(
+            "_rv", F.struct(F.col("_ts").isNotNull().alias("_nn"),
+                            F.col("_ts").alias("_t"))
+        ).alias("_rvl"))
     # carry the running latest across the per-key CHUNK INDEX: one row
     # per (key, chunk) ever touched by either side — a tiny table (the
     # mega-key contributes span/chunk rows here, not its row count)

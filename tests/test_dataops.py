@@ -606,6 +606,22 @@ def test_boilerplate_shingle_stats(spark):
     assert out[2].n_shingles == 3
 
 
+def test_boilerplate_null_doc_id_dropped(spark):
+    """Review-found regression guard: the pre-r5 form attached the
+    group column with an equi-join on doc_id, which dropped NULL-id
+    docs; the carried-through-the-explode form must keep that
+    semantics — no NULL-id output row, and NULL-id docs never push a
+    shingle over min_docs for real docs."""
+    from pycrawler_spark.operators.curation import boilerplate_shingle_stats
+
+    rows = [(1, "a b c", "s"), (None, "a b x", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in
+           boilerplate_shingle_stats(df, k=2, min_docs=2).collect()}
+    assert set(out) == {1}
+    assert out[1].n_boiler == 0 and out[1].n_shingles == 2
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     from pycrawler_spark.operators.curation import hash_sample
 
@@ -1079,6 +1095,28 @@ def test_asof_chunked_null_ts_matches_unchunked(spark):
                  for r in asof_join(left, right, by="user",
                                     chunk=100).collect())
     assert got == base == [(1, 100), (2, 101), (3, 102)]
+
+
+def test_asof_chunked_null_only_right_rows_carry(spark):
+    """Review-found regression guard: when a key's ONLY preceding
+    right row has a NULL timestamp, the cross-chunk carry must still
+    propagate it — a bare max_by(_rv, _ts) skips NULL ordering values
+    and silently drops the NULL chunk from the carry, diverging from
+    the unchunked NULLS-FIRST semantics."""
+    from pycrawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 500), (2, "k", 50)], "id long, user string, t long"
+    ).select("id", "user", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, "k", None)], "rid long, user string, t long"
+    ).select("rid", "user", F.col("t").cast("timestamp").alias("ts"))
+    base = sorted((r.id, r.r_rid)
+                  for r in asof_join(left, right, by="user").collect())
+    got = sorted((r.id, r.r_rid)
+                 for r in asof_join(left, right, by="user",
+                                    chunk=100).collect())
+    assert got == base == [(1, 100), (2, 100)]
 
 
 def test_asof_chunked_multi_partition_plan(spark):
