@@ -95,11 +95,11 @@ OPS_MEGA = ["asof_join_megachunk_x"]
 # r5 map-only contrast: winnowing fingerprints are ZERO-shuffle (one
 # projection + explode, plan-pinned by test_winnow_plan_has_no_exchange),
 # so unlike every pair above this one is NOT capped by the shared-JVM
-# shuffle ceiling (spark_shuffle_ideal ~0.585) — it should read near
-# the host's raw-CPU 4x ceiling (0.83-0.87). Together the two ceilings
-# bracket the harness: shuffle-bound operators land at the former,
-# map-only stages at the latter, and that separation is measured, not
-# asserted. Winnowing runs ~50 us-core/doc after the two r5 fixes
+# shuffle ceiling. The r5 calibration found what DOES cap a map stage
+# on one host: allocation rate vs memory bandwidth (see the BENCH.md
+# prose) — the original string-building form pegged 16 cores with a
+# flat wall from 8 up; the variadic-hash form measures 0.69-0.76.
+# Winnowing runs ~50 us-core/doc after the two r5 fixes
 # (staged projections removed a quadratic lambda re-evaluation;
 # variadic xxhash64 removed the per-position string building — see
 # operators/dedup.py:winnow_fingerprints), so it gets its OWN
@@ -740,14 +740,34 @@ def main():
         }
         record_history(small, big, eff, eff_steady)
 
-        # --- r3-operator scaling pairs (one interleaved pair) --------
-        ops_s = ops_b = None
+        # --- r3-operator scaling pairs (S-B-S bracket, since r5) ------
+        # a single (small, big) sample pair carries the full
+        # hypervisor-steal drift between its two windows: one r5 run
+        # measured the winnow pair at 0.336 purely because the big
+        # side landed in a 13.0-capacity window after a 15.7 small
+        # side (and the ideal job read a nonsensical 1.05). The small
+        # side therefore runs TWICE, bracketing the big run, and each
+        # operator reports the MEDIAN of the two pair efficiencies
+        # plus both raw samples — the same drift control the crawl
+        # gate gets from its interleaved pairs.
+        ops_s = ops_b = ops_s2 = None
         if os.environ.get("SPARK_GRAFT_SKIP_OPS_SCALING", "") != "1":
             # own quiet-window budget: the crawl pairs above may have
-            # drained wait_pool, and this is a single no-retry pair
+            # drained wait_pool
             wait_for_quiet_window([60.0])
             ops_s = run_ops_pinned(SCALE_N)
             ops_b = run_ops_pinned(SCALE_4N)
+            ops_s2 = run_ops_pinned(SCALE_N)
+
+            def pair_effs(name: str) -> list:
+                return [
+                    round((s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+                    for s in (ops_s, ops_s2)
+                ]
+
+            def med(effs: list) -> float:
+                return round(sum(effs) / len(effs), 3)
+
             # entry-query walls: regression pins only (1-2 s at sf0.1,
             # floor-bound — no efficiency derived from them)
             for name in OPS_PAIR:
@@ -756,48 +776,48 @@ def main():
             # replicated-input forms: real per-operator scaling signal
             # (the *_shuffle/*_smallpart variants are the r4-verdict
             # corrected-regime experiments — see run_ops)
-            for name in OPS_SCALED + OPS_CORRECTED + OPS_MEGA:
-                scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_N}"] = ops_s[name]
-                scaling[f"{name}{OPS_SCALE_REP}_local{SCALE_4N}"] = ops_b[name]
-                scaling[f"{name}{OPS_SCALE_REP}_scaling_efficiency"] = round(
-                    (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
-                )
-            # map-only (zero-shuffle) contrast pair — own replication
-            for name in OPS_MAPONLY:
-                if name not in ops_s:
-                    continue
-                scaling[f"{name}{WINNOW_REP}_local{SCALE_N}"] = ops_s[name]
-                scaling[f"{name}{WINNOW_REP}_local{SCALE_4N}"] = ops_b[name]
-                scaling[f"{name}{WINNOW_REP}_scaling_efficiency"] = round(
-                    (ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3
-                )
+            maponly = [n for n in OPS_MAPONLY if n in ops_s]
+            for name in OPS_SCALED + OPS_CORRECTED + OPS_MEGA + maponly:
+                rep = WINNOW_REP if name in OPS_MAPONLY else OPS_SCALE_REP
+                effs = pair_effs(name)
+                scaling[f"{name}{rep}_local{SCALE_N}"] = ops_s[name]
+                scaling[f"{name}{rep}_local{SCALE_N}_rerun"] = ops_s2[name]
+                scaling[f"{name}{rep}_local{SCALE_4N}"] = ops_b[name]
+                scaling[f"{name}{rep}_scaling_pair_effs"] = effs
+                scaling[f"{name}{rep}_scaling_efficiency"] = med(effs)
             # the harness's own shuffle ceiling (ideal job, no engine
             # code) — the number the operator pairs above are capped by
             if "spark_shuffle_ideal" in ops_s:
+                effs = pair_effs("spark_shuffle_ideal")
                 scaling[f"spark_shuffle_ideal_local{SCALE_N}"] = (
                     ops_s["spark_shuffle_ideal"])
+                scaling[f"spark_shuffle_ideal_local{SCALE_N}_rerun"] = (
+                    ops_s2["spark_shuffle_ideal"])
                 scaling[f"spark_shuffle_ideal_local{SCALE_4N}"] = (
                     ops_b["spark_shuffle_ideal"])
-                scaling["spark_shuffle_ideal_scaling_efficiency"] = round(
-                    (ops_s["spark_shuffle_ideal"]
-                     / max(ops_b["spark_shuffle_ideal"], 1e-9)) / ratio, 3
-                )
+                scaling["spark_shuffle_ideal_scaling_pair_effs"] = effs
+                scaling["spark_shuffle_ideal_scaling_efficiency"] = med(effs)
+            stream_effs = [
+                round((ops_b["stream_crawl_urls_per_sec"]
+                       / s["stream_crawl_urls_per_sec"]) / ratio, 3)
+                for s in (ops_s, ops_s2)
+            ]
             scaling[f"stream_crawl_urls_per_sec_local{SCALE_N}"] = (
                 ops_s["stream_crawl_urls_per_sec"]
+            )
+            scaling[f"stream_crawl_urls_per_sec_local{SCALE_N}_rerun"] = (
+                ops_s2["stream_crawl_urls_per_sec"]
             )
             scaling[f"stream_crawl_urls_per_sec_local{SCALE_4N}"] = (
                 ops_b["stream_crawl_urls_per_sec"]
             )
-            scaling["stream_crawl_scaling_efficiency"] = round(
-                (
-                    ops_b["stream_crawl_urls_per_sec"]
-                    / ops_s["stream_crawl_urls_per_sec"]
-                )
-                / ratio,
-                3,
-            )
+            scaling["stream_crawl_scaling_pair_effs"] = stream_effs
+            scaling["stream_crawl_scaling_efficiency"] = med(stream_effs)
             scaling["ops_host_capacity_small_run"] = (
                 ops_s["host_capacity_before"]
+            )
+            scaling["ops_host_capacity_small_rerun"] = (
+                ops_s2["host_capacity_before"]
             )
             scaling["ops_host_capacity_big_run"] = (
                 ops_b["host_capacity_before"]
@@ -820,7 +840,7 @@ def main():
                 if k.startswith("priority_"):
                     scaling[k] = v
         write_bench_md(small, big, eff, eff_steady, all_effs, eff_median,
-                       ops_s, ops_b, prio)
+                       ops_s, ops_b, prio, ops_s2)
 
     # the query suite gets its own quiet-window budget: a dirty window
     # here is what produced r4's phantom per-query regressions
@@ -880,52 +900,64 @@ def _best_line() -> str:
             f"{b['big']['steady_urls_per_sec']}/s)")
 
 
-def _ops_md(ops_s, ops_b) -> str:
+def _ops_md(ops_s, ops_b, ops_s2=None) -> str:
     if not ops_s or not ops_b:
         return "(skipped this run: SPARK_GRAFT_SKIP_OPS_SCALING=1)"
     ratio = ops_b["cores"] / ops_s["cores"]
+    s2 = ops_s2 or ops_s  # legacy single-pair fallback
+
+    def cell(name):
+        """small-side cell 's1 / s2' and the two bracketing pair effs."""
+        e1 = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        e2 = round((s2[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        med = round((e1 + e2) / 2, 3)
+        return f"{ops_s[name]} / {s2[name]} s", f"{e1} / {e2} (med {med})"
+
     rows = []
     for name in OPS_PAIR:
         rows.append(f"| {name} (sf entry, floor-bound) | {ops_s[name]} s "
                     f"| {ops_b[name]} s | — (regression pin) |")
     for name in OPS_SCALED:
-        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        sc, ec = cell(name)
         rows.append(f"| {name}{OPS_SCALE_REP} (replicated input) "
-                    f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+                    f"| {sc} | {ops_b[name]} s | {ec} |")
     for name in OPS_CORRECTED:
         if name not in ops_s:
             continue
-        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        sc, ec = cell(name)
         rows.append(f"| {name}{OPS_SCALE_REP} (corrected regime) "
-                    f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+                    f"| {sc} | {ops_b[name]} s | {ec} |")
     for name in OPS_MEGA:
         if name not in ops_s:
             continue
-        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        sc, ec = cell(name)
         rows.append(f"| {name}{OPS_SCALE_REP} (1 key, chunk=1 day) "
-                    f"| {ops_s[name]} s | {ops_b[name]} s | {e} |")
+                    f"| {sc} | {ops_b[name]} s | {ec} |")
     for name in OPS_MAPONLY:
         if name not in ops_s:
             continue
-        e = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
+        sc, ec = cell(name)
         rows.append(f"| **{name}{WINNOW_REP}** (map-only, zero shuffle) "
-                    f"| {ops_s[name]} s | {ops_b[name]} s | **{e}** |")
+                    f"| {sc} | {ops_b[name]} s | **{ec}** |")
     if "spark_shuffle_ideal" in ops_s:
-        e = round((ops_s["spark_shuffle_ideal"]
-                   / max(ops_b["spark_shuffle_ideal"], 1e-9)) / ratio, 3)
+        sc, ec = cell("spark_shuffle_ideal")
         rows.append(f"| **spark_shuffle_ideal** (harness ceiling, zero "
-                    f"engine code) | {ops_s['spark_shuffle_ideal']} s "
-                    f"| {ops_b['spark_shuffle_ideal']} s | **{e}** |")
-    se = round(
-        (ops_b["stream_crawl_urls_per_sec"]
-         / ops_s["stream_crawl_urls_per_sec"]) / ratio, 3)
+                    f"engine code) | {sc} "
+                    f"| {ops_b['spark_shuffle_ideal']} s | **{ec}** |")
+    se1 = round((ops_b["stream_crawl_urls_per_sec"]
+                 / ops_s["stream_crawl_urls_per_sec"]) / ratio, 3)
+    se2 = round((ops_b["stream_crawl_urls_per_sec"]
+                 / s2["stream_crawl_urls_per_sec"]) / ratio, 3)
     rows.append(
         f"| stream_crawl, batch-gate corpus (URLs/s) "
-        f"| {ops_s['stream_crawl_urls_per_sec']} "
-        f"| {ops_b['stream_crawl_urls_per_sec']} | {se} |")
+        f"| {ops_s['stream_crawl_urls_per_sec']} / "
+        f"{s2['stream_crawl_urls_per_sec']} "
+        f"| {ops_b['stream_crawl_urls_per_sec']} "
+        f"| {se1} / {se2} (med {round((se1 + se2) / 2, 3)}) |")
     return "\n".join([
-        f"| operator | local[{ops_s['cores']}] | local[{ops_b['cores']}] "
-        "| pair efficiency |",
+        f"| operator | local[{ops_s['cores']}] (run1 / run2) "
+        f"| local[{ops_b['cores']}] "
+        "| pair efficiency (vs run1 / vs run2) |",
         "|---|---|---|---|",
         *rows,
         "",
@@ -994,11 +1026,17 @@ def _ops_md(ops_s, ops_b) -> str:
         "(r4 measured it on a 10x smaller one, where fixed "
         "per-micro-batch costs — offset commit, file listing, wave "
         "bookkeeping — dominated both sides and the pair read as an "
-        "overhead ratio, not scaling). Single "
-        "pair per round — carries the full 2-3x steal variance; read "
-        "it with the capacity probes "
+        "overhead ratio, not scaling). Since late r5 the small side "
+        "runs TWICE, bracketing the big run (S-B-S): a single "
+        "(small, big) sample carries the full steal drift between its "
+        "two windows — one r5 run read the winnow pair at 0.336 and "
+        "the ideal job at a nonsensical 1.05 purely because the big "
+        "side landed in a dirtier window — so each row shows both "
+        "bracketing efficiencies and their median, read with the "
+        "capacity probes "
         f"({ops_s['host_capacity_before']} / "
-        f"{ops_b['host_capacity_before']} M-iter/s this run, quiet "
+        f"{ops_b['host_capacity_before']} / "
+        f"{s2['host_capacity_before']} M-iter/s this run, quiet "
         "~16).",
     ])
 
@@ -1037,7 +1075,7 @@ def _priority_md(prio) -> str:
 
 def write_bench_md(small: dict, big: dict, eff: float, eff_steady: float,
                    all_effs=None, eff_median=None,
-                   ops_s=None, ops_b=None, prio=None) -> None:
+                   ops_s=None, ops_b=None, prio=None, ops_s2=None) -> None:
     md = f"""# BENCH — crawl-engine scaling evidence
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to
@@ -1118,7 +1156,7 @@ local[{small['cores']}] / local[{big['cores']}] pair on the same
 inputs (queries at sf, stream_crawl on a {OPS_CORPUS['n_hosts']}-host
 corpus):
 
-{_ops_md(ops_s, ops_b)}
+{_ops_md(ops_s, ops_b, ops_s2)}
 
 ## Priority crawling (end-to-end)
 
