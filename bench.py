@@ -1151,8 +1151,9 @@ Measured by `python bench.py` (env: SPARK_GRAFT_CPUS={CPUS}).
 ## Operator scaling pairs (r3-added operators, benched since r4)
 
 The round-3 operators (as-of join, range join, PageRank, unigram-LM
-scoring) and the streaming wave loop, measured as ONE pinned
-local[{small['cores']}] / local[{big['cores']}] pair on the same
+scoring), the r5 winnowing map stage and the streaming wave loop,
+measured pinned as an S-B-S bracket — the local[{small['cores']}]
+side runs twice around the local[{big['cores']}] run — on the same
 inputs (queries at sf, stream_crawl on a {OPS_CORPUS['n_hosts']}-host
 corpus):
 
