@@ -199,7 +199,8 @@ def run_ops(cores: int) -> dict:
             os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "32")
         ),
     )
-    out = {"cores": cores, "host_capacity_before": host_capacity()}
+    out = {"cores": cores, "host_capacity_before": host_capacity(),
+           "host_bandwidth_before": host_bandwidth()}
     qs = entrymod.queries()
     spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()  # warm
     for name in OPS_PAIR:
@@ -413,7 +414,8 @@ def run_priority_crawl(cores: int) -> dict:
     # handful of sub-waves, not hundreds of driver-floor-bound ones
     cfg = CrawlConfig(depth=CRAWL_DEPTH, max_urls=MAX_URLS,
                       politeness=True, wave_interval_ms=6_000_000)
-    out = {"cores": cores, "host_capacity_before": host_capacity()}
+    out = {"cores": cores, "host_capacity_before": host_capacity(),
+           "host_bandwidth_before": host_bandwidth()}
     # warm-up crawl (JVM codegen, Arrow workers, parquet footers):
     # without it the FIFO run pays the ~6 s session spin-up and the
     # "priority overhead" reads as a spurious speed-UP
@@ -491,6 +493,30 @@ def host_capacity() -> float:
     for i in range(5_000_000):
         x += i * i
     return round(5.0 / max(time.monotonic() - t, 1e-9), 1)
+
+
+def host_bandwidth() -> float:
+    """Single-core memory-copy rate in GB/s (bytes read+written) — the
+    probe host_capacity() is blind to: one r5 bench run measured
+    winnowing (bandwidth-bound) 3-4x slower at local[2] while the
+    CPU-burn probe read a near-quiet 12-14 M-iter/s, i.e. a
+    noisy-neighbor event stealing memory BANDWIDTH, not cycles. A
+    64 MB buffer defeats every cache level, so this reads the actual
+    memory-controller share this VM is getting right now (healthy:
+    ~15-20 GB/s; the page-fault cost of the fresh buffer is paid by a
+    warm-up copy outside the timed loop)."""
+    import numpy as np
+
+    a = np.ones(64_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # first-touch: fault b's pages in OUTSIDE the timing
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 0.3:
+        np.copyto(b, a)
+        n += 1
+    dt = max(time.monotonic() - t0, 1e-9)
+    return round(n * 2 * a.nbytes / dt / 1e9, 2)
 
 
 def host_raw_scaling_ceiling(n: int, n4: int) -> float:
@@ -833,6 +859,14 @@ def main():
             scaling["ops_host_capacity_big_run"] = (
                 ops_b["host_capacity_before"]
             )
+            # bandwidth probes (GB/s): the CPU probe misses
+            # memory-bandwidth steal, which is what actually inflates
+            # the bandwidth-bound operators (see host_bandwidth)
+            for tag, w in (("small_run", ops_s), ("big_run", ops_b),
+                           ("small_rerun", ops_s2)):
+                if "host_bandwidth_before" in w:
+                    scaling[f"ops_host_bandwidth_{tag}"] = (
+                        w["host_bandwidth_before"])
 
         # default-output parity pin vs round 4 (priority wiring must
         # not move the FIFO default): byte-identical scheduled /
@@ -922,7 +956,13 @@ def _ops_md(ops_s, ops_b, ops_s2=None) -> str:
         e1 = round((ops_s[name] / max(ops_b[name], 1e-9)) / ratio, 3)
         e2 = round((s2[name] / max(ops_b[name], 1e-9)) / ratio, 3)
         med = round((e1 + e2) / 2, 3)
-        return f"{ops_s[name]} / {s2[name]} s", f"{e1} / {e2} (med {med})"
+        eff = f"{e1} / {e2} (med {med})"
+        if med > 1.0:
+            # a >1.0 pair efficiency is physically implausible for
+            # identical work — the window shifted mid-bracket (usually
+            # bandwidth steal the CPU probe can't see); flag, don't hide
+            eff += " — IMPLAUSIBLE, window shifted (see probes)"
+        return f"{ops_s[name]} / {s2[name]} s", eff
 
     rows = []
     for name in OPS_PAIR:
@@ -1055,7 +1095,14 @@ def _ops_md(ops_s, ops_b, ops_s2=None) -> str:
         f"({ops_s['host_capacity_before']} / "
         f"{ops_b['host_capacity_before']} / "
         f"{s2['host_capacity_before']} M-iter/s this run, quiet "
-        "~16).",
+        "~16) AND the bandwidth probes "
+        f"({ops_s.get('host_bandwidth_before', '?')} / "
+        f"{ops_b.get('host_bandwidth_before', '?')} / "
+        f"{s2.get('host_bandwidth_before', '?')} GB/s this run) — "
+        "one r5 run inflated the bandwidth-bound operators 3-4x at a "
+        "near-quiet CPU probe, i.e. neighbor load can steal memory "
+        "bandwidth without stealing cycles, and only the second probe "
+        "sees it.",
     ])
 
 
