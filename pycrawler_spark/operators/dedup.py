@@ -498,37 +498,50 @@ def fingerprint_dup_pairs(
     (MOSS-style): self-join on fp, count shared fingerprints per pair,
     keep pairs sharing >= ``min_shared``.
 
-    Scale design: the shuffle key is the 64-bit fingerprint — high
-    cardinality, near-uniform (it is a hash), so the equi-join
-    partitions evenly. The skew risk is boilerplate fingerprints
-    shared by MILLIONS of docs (cookie banners, license headers): one
-    hot fp makes a quadratic join output. ``max_df`` caps document
-    frequency — fingerprints in more than max_df docs are dropped
-    before the self-join (one extra fp-keyed agg, map-side combined;
-    the standard MOSS/plagiarism-index mitigation, and the analog of
-    q46's boilerplate removal). At web scale always set it; default
-    None keeps small corpora exact.
+    Scale design: ONE fp-keyed aggregation groups the doc ids sharing
+    each fingerprint, then pairs are generated WITHIN each group —
+    the fps input is consumed exactly once. The previous self-join
+    form consumed it twice: Spark plans a self-join as two physical
+    subtrees, and (measured on q58) the whole upstream winnowing
+    pipeline — tokenize, hash, window-min, explode — executed once
+    PER SIDE with no ReusedExchange. The shuffle key is the 64-bit
+    fingerprint — high cardinality, near-uniform (it is a hash) — and
+    each group's pair fan-out is the same df^2 the join form produced,
+    just generated from one grouped row. The skew/OOM risk is
+    boilerplate fingerprints shared by MILLIONS of docs (cookie
+    banners, license headers): one hot fp makes a quadratic pair
+    output (join form) or a df-sized id array (this form). ``max_df``
+    caps document frequency — oversize groups are dropped by a size
+    filter BEFORE pair generation (the standard MOSS/plagiarism-index
+    mitigation, and the analog of q46's boilerplate removal); here it
+    is a free filter on the already-built group rather than an extra
+    agg + join. At web scale always set it; default None keeps small
+    corpora exact.
 
     Returns (id_a, id_b, n_shared), id_a < id_b.
     """
+    groups = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids"))
     if max_df is not None:
-        keep = (
-            fps.groupBy("fp").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("fp")
-        )
-        fps = fps.join(keep, "fp")
-    a, b = fps.alias("a"), fps.alias("b")
+        groups = groups.filter(F.size("_ids") <= max_df)
+    n = F.size(F.col("_ids"))
+    # all (i, j) index pairs with i < j over the sorted id array —
+    # sorted order makes id_a < id_b structural
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("_ids"), i + 1).alias("id_a"),
+                F.element_at(F.col("_ids"), j + 1).alias("id_b"),
+            ),
+        ),
+    ))
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        groups.filter(n >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"),
+                 F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -1686,3 +1686,21 @@ def test_fingerprint_dup_pairs_and_max_df(spark):
     # boilerplate cap: every shared fp here appears in all 3 docs, so
     # max_df=2 drops them all and no pair survives
     assert fingerprint_dup_pairs(fps, min_shared=1, max_df=2).count() == 0
+
+
+def test_fingerprint_pairs_single_upstream_computation(spark, docs):
+    """The r5 rework's point, plan-asserted: pair generation consumes
+    the fingerprint input ONCE (group ids per fp, explode pairs within
+    the group). The previous self-join planned the whole upstream
+    winnowing pipeline twice — one `split(` per side in the executed
+    plan, no ReusedExchange."""
+    from pycrawler_spark.operators.dedup import (
+        fingerprint_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    plan = (
+        fingerprint_dup_pairs(winnow_fingerprints(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
