@@ -107,6 +107,35 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def id_pairs(ids: Column, a_name: str = "id_a", b_name: str = "id_b") -> Column:
+    """All (i < j) element pairs of a SORTED id array, as an array of
+    two-field structs — the pair-generation kernel of
+    :func:`fingerprint_dup_pairs`. Grouping ids by the blocking key
+    and exploding pairs WITHIN each group consumes the expensive
+    upstream exactly once; a self-join plans it as two physical
+    subtrees with no ReusedExchange (measured — see
+    fingerprint_dup_pairs). ONLY appropriate behind a SELECTIVE
+    blocking key (small groups): each group's D^2/2 pairs materialize
+    as one in-row array, so a weak key with thousands-deep clusters
+    must use a streaming self-join instead (measured 30x on q12 —
+    see lsh_candidate_pairs). Pass ``ids`` as a bound ATTRIBUTE
+    column (not an expensive expression — HOF lambdas re-evaluate
+    per element), and filter ``size(ids) >= 2`` BEFORE exploding the
+    result: for a 1-element array the index sequence would descend
+    and element_at would throw under ANSI."""
+    n = F.size(ids)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: F.struct(
+                F.element_at(ids, i + 1).alias(a_name),
+                F.element_at(ids, j + 1).alias(b_name),
+            ),
+        ),
+    ))
+
+
 def token_shingle_hash(toks: Column, i: Column, k: int) -> Column:
     """k-gram identity at 0-based offset ``i`` of an already-split
     token array: ONE variadic ``xxhash64`` over the k token strings
@@ -153,7 +182,21 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature columns into ``bands`` groups; docs sharing a
     band key are candidates. Self-join happens on the band key only —
-    the shuffle carries (id, 32-byte key)."""
+    the shuffle carries (id, 32-byte key).
+
+    Deliberately a streaming SELF-JOIN, not the grouped ``id_pairs``
+    form that :func:`fingerprint_dup_pairs` uses: LSH bands are a
+    WEAK blocking key by design (few hashes, coarse bands — high
+    recall), so candidate clusters are large, and building each
+    cluster's D^2/2 pair array inside one row materializes the
+    quadratic output that the join form streams through the shuffle
+    iterator (measured on q12: the grouped form was 30x slower at
+    sf0.1, where the 2-band key yields thousands-deep clusters).
+    Group-form wins only when the blocking key is SELECTIVE (winnow
+    fingerprints); callers that need the upstream signature
+    aggregation computed once should cache/checkpoint ``sigs`` — it
+    is signature-sized (id + a few hashes), the cheapest table in the
+    pipeline, unlike the text-sized inputs upstream of it."""
     sig_cols = [c for c in sigs.columns if c.startswith("mh_")]
     assert len(sig_cols) % bands == 0, "bands must divide signature size"
     r = len(sig_cols) // bands
@@ -504,10 +547,16 @@ def fingerprint_dup_pairs(
     form consumed it twice: Spark plans a self-join as two physical
     subtrees, and (measured on q58) the whole upstream winnowing
     pipeline — tokenize, hash, window-min, explode — executed once
-    PER SIDE with no ReusedExchange. The shuffle key is the 64-bit
-    fingerprint — high cardinality, near-uniform (it is a hash) — and
-    each group's pair fan-out is the same df^2 the join form produced,
-    just generated from one grouped row. The skew/OOM risk is
+    PER SIDE with no ReusedExchange. The grouped form is correct
+    HERE because winnow fingerprints are a SELECTIVE blocking key
+    (a 64-bit content hash shared only by genuinely overlapping
+    spans, groups of a handful of docs); for a weak key with huge
+    candidate clusters the in-row pair array materializes what a
+    join would stream — see lsh_candidate_pairs for the measured
+    counter-case and ``id_pairs`` for the rule. The shuffle key is
+    the 64-bit fingerprint — high cardinality, near-uniform — and
+    each group's pair fan-out is the same df^2 the join form
+    produced, just generated from one grouped row. The skew/OOM risk is
     boilerplate fingerprints shared by MILLIONS of docs (cookie
     banners, license headers): one hot fp makes a quadratic pair
     output (join form) or a df-sized id array (this form). ``max_df``
@@ -524,22 +573,10 @@ def fingerprint_dup_pairs(
         F.array_sort(F.collect_list(id_col)).alias("_ids"))
     if max_df is not None:
         groups = groups.filter(F.size("_ids") <= max_df)
-    n = F.size(F.col("_ids"))
-    # all (i, j) index pairs with i < j over the sorted id array —
-    # sorted order makes id_a < id_b structural
-    pairs = F.flatten(F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, n - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("_ids"), i + 1).alias("id_a"),
-                F.element_at(F.col("_ids"), j + 1).alias("id_b"),
-            ),
-        ),
-    ))
+    # sorted array makes id_a < id_b structural
     return (
-        groups.filter(n >= 2)
-        .select(F.explode(pairs).alias("_p"))
+        groups.filter(F.size("_ids") >= 2)
+        .select(F.explode(id_pairs(F.col("_ids"))).alias("_p"))
         .groupBy(F.col("_p.id_a").alias("id_a"),
                  F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
