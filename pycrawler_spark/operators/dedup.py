@@ -536,6 +536,7 @@ def fingerprint_dup_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_df: int | None = None,
+    max_df_hard: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup / containment pairs from winnow fingerprints
     (MOSS-style): self-join on fp, count shared fingerprints per pair,
@@ -565,14 +566,45 @@ def fingerprint_dup_pairs(
     mitigation, and the analog of q46's boilerplate removal); here it
     is a free filter on the already-built group rather than an extra
     agg + join. At web scale always set it; default None keeps small
-    corpora exact.
+    corpora exact. When ``max_df`` is unset, ``max_df_hard`` is the
+    skew SENTINEL (the analog of range_join's fan-out guard, r6): a
+    group whose id array exceeds it raises with the offending fp and
+    its size instead of silently building a df-sized in-row array on
+    the way to an executor OOM — a zero-cost per-group comparison on
+    the already-built group, no extra pass or driver action.
+
+    Input contract: one row per (id, fp) — ``winnow_fingerprints``
+    output is distinct by construction. Duplicate rows are collapsed
+    defensively (``array_distinct`` over the sorted group, a no-op on
+    distinct input, r6), so self-pairs (id_a == id_b) can never be
+    emitted regardless of input; note the join form would instead
+    inflate n_shared on duplicated input, so the two forms are only
+    interchangeable on DISTINCT input either way.
 
     Returns (id_a, id_b, n_shared), id_a < id_b.
     """
     groups = fps.groupBy("fp").agg(
-        F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        F.array_distinct(
+            F.array_sort(F.collect_list(id_col))).alias("_ids"))
     if max_df is not None:
         groups = groups.filter(F.size("_ids") <= max_df)
+    else:
+        # skew sentinel: fail loudly on a boilerplate fp shared by an
+        # absurd number of docs rather than OOM inside pair fan-out
+        groups = groups.withColumn(
+            "_ids",
+            F.when(F.size("_ids") <= max_df_hard, F.col("_ids")).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("fingerprint_dup_pairs: fp "),
+                    F.col("fp").cast("string"),
+                    F.lit(" is shared by "),
+                    F.size("_ids").cast("string"),
+                    F.lit(f" docs (> max_df_hard={max_df_hard}) "
+                          "- boilerplate fingerprint; set max_df to "
+                          "cap document frequency"),
+                ))
+            ),
+        )
     # sorted array makes id_a < id_b structural
     return (
         groups.filter(F.size("_ids") >= 2)

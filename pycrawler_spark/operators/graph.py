@@ -10,10 +10,18 @@ ONCE per round (the checkpoint materialization) — the dangling mass
 is a one-row DataFrame folded into the rank update via a broadcast
 cross join, never a per-round `.first()`.
 
-Scale shape at 10^10 edges: the edge list shuffles ONCE (by src, for
-out-degrees) and is then reused every round; the dangling-node flag
-is computed ONCE (a left join at setup) and travels with the rank
-table, so no per-round anti-join re-derives the static dangling set.
+Scale shape at 10^10 edges: the upstream edge computation (often an
+expensive extraction pipeline — href parsing UDFs over the corpus)
+is materialized ONCE at entry and every setup table derives from
+that checkpoint; before round 6 the setup consumed the raw ``edges``
+plan four times (out-degrees, both sides of the node union, and the
+degree-annotated edge table), and Spark plans each consumer as its
+own physical subtree — four full upstream executions (measured: ~9%
+of q54 wall even on the tiny bench graph, where the extraction is
+one Arrow batch; at corpus scale it is four scans instead of one).
+The dangling-node flag is computed ONCE (a left join at setup) and
+travels with the rank table, so no per-round anti-join re-derives
+the static dangling set.
 Per-round cost is a (dst-keyed) shuffle of (edge, rank-fraction)
 pairs — 16 bytes per edge — plus a node-sized aggregation and a scan
 of the (checkpointed) rank table for the dangling sum. Rounds are
@@ -41,14 +49,22 @@ def pagerank(
 
     Fixed iteration count (deterministic); returns (node, rank).
     """
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
+    # materialize the upstream edge computation ONCE: deg, the node
+    # union and the degree-annotated edge table below each consume the
+    # edge list, and Spark plans every consumer as a separate physical
+    # subtree — without this checkpoint the (possibly UDF-heavy)
+    # upstream pipeline executes four times during setup. ``ed`` is
+    # unreferenced once ``nodes`` and ``e`` are checkpointed, so its
+    # blocks are reclaimed by the ContextCleaner after setup.
+    ed = edges.select(src_col, dst_col).localCheckpoint()
+    deg = ed.groupBy(src_col).agg(F.count("*").alias("outdeg"))
     # dangling flag computed ONCE at setup (it is a static property of
     # the graph) and carried through every round on the node table —
     # re-deriving it per round with an anti-join would add one
     # node-sized shuffle per iteration for an unchanging answer
     nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        ed.select(F.col(src_col).alias("node"))
+        .unionByName(ed.select(F.col(dst_col).alias("node")))
         .distinct()
         .join(deg.select(F.col(src_col).alias("node"),
                          F.lit(False).alias("_dang")), "node", "left")
@@ -59,8 +75,7 @@ def pagerank(
     # out-degree travels with each edge; materialized once, reused
     # every round
     e = (
-        edges.select(src_col, dst_col)
-        .join(deg, src_col)
+        ed.join(deg, src_col)
         .localCheckpoint()
     )
     ranks = nodes.select("node", "_dang", F.lit(1.0 / n).alias("rank"))

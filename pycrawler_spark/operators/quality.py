@@ -45,7 +45,12 @@ def ngram_repetition_stats(
     ``test_ngram_repetition_matches_relational_form`` and the q48
     oracle.
     """
-    toks_df = docs.select(
+    # NULL-text docs are dropped, preserving the relational form's
+    # semantics (exploding a NULL gram array yields no rows, so the
+    # pre-r5 form emitted nothing for them; the fold form would
+    # otherwise send NULL through the short-doc branch and fabricate a
+    # degenerate one-gram row — r5 advisor finding, fixed r6)
+    toks_df = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     n_toks = F.size(F.col("_toks"))
 

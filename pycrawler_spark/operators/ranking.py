@@ -90,6 +90,11 @@ def bm25_scores(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
     )
+    # (r6 note: deriving df as tf.groupBy(w).count() to share tf's
+    # exchange via AQE reuse was tried and rejected — Catalyst prunes
+    # the count out of the reused branch and infers an isnotnull
+    # filter on only one side, so the subtrees never canonicalize
+    # equal and wall time was flat; see OPTIMIZATION_r06.md)
     df_t = tf.groupBy("w").agg(F.countDistinct(id_col).alias("df"))
 
     scored = (

@@ -72,6 +72,15 @@ def get_spark(
         # while preserving kernel parallelism.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick a shuffled-hash join when its size
+        # conditions hold (guide: SHJ skips the per-partition sort and
+        # is usually faster when one side is moderately small; Spark
+        # still falls back to sort-merge when neither side can build a
+        # local hash map, so the spill-safety of SMJ is kept for the
+        # giant-x-giant joins). Measured r6, interleaved medians at
+        # sf0.1: q12 0.95->0.69 s, q58 1.53->1.37 s, q54 3.22->2.86 s,
+        # no query slower.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))

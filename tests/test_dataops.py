@@ -711,7 +711,11 @@ def test_ngram_repetition_matches_relational_form(spark):
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
         for i in range(60)
-    ] + [(60, "solo"), (61, "two tokens"), (62, "x x x x x x")]
+    ] + [(60, "solo"), (61, "two tokens"), (62, "x x x x x x"),
+         # NULL text: the relational form drops it (exploding a NULL
+         # gram array yields no rows) and since r6 the fold form does
+         # too (r5 advisor finding)
+         (63, None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     def relational(k, agg):
@@ -720,7 +724,12 @@ def test_ngram_repetition_matches_relational_form(spark):
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
-        cnt = (docs.select("doc_id", F.explode(grams).alias("gram"))
+        # NULL text emits no row (the DuckDB oracle's explode-of-NULL
+        # semantics; this Spark replay needs the explicit filter
+        # because concat_ws treats a NULL slice as empty and would
+        # otherwise fabricate a '' gram)
+        cnt = (docs.filter(F.col("text").isNotNull())
+               .select("doc_id", F.explode(grams).alias("gram"))
                .groupBy("doc_id", F.md5("gram").alias("g"))
                .agg(F.count("*").alias("c")))
         return cnt.groupBy("doc_id").agg(agg.alias("v"))
@@ -1704,3 +1713,51 @@ def test_fingerprint_pairs_single_upstream_computation(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("split(") == 1, plan
+
+
+def test_fingerprint_pairs_duplicate_input_no_self_pairs(spark):
+    """r5 advisor finding, fixed r6: non-distinct (id, fp) input must
+    not emit id_a == id_b self-pairs or count a duplicated row twice —
+    the collected group is array_distinct'ed before pair generation."""
+    from pycrawler_spark.operators.dedup import fingerprint_dup_pairs
+
+    fps = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 100), (1, 200), (2, 200)],
+        "doc_id long, fp long",
+    )
+    rows = {(r.id_a, r.id_b): r.n_shared
+            for r in fingerprint_dup_pairs(fps, min_shared=1).collect()}
+    assert rows == {(1, 2): 2}, rows
+
+
+def test_fingerprint_pairs_skew_sentinel_fires(spark):
+    """r6 (verdict #4): with max_df unset, a fingerprint shared by more
+    than max_df_hard docs raises instead of building a df-sized in-row
+    array; setting max_df drops the hot group instead."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import SparkUpgradeException  # noqa: F401
+
+    from pycrawler_spark.operators.dedup import fingerprint_dup_pairs
+
+    hot = [(i, 7) for i in range(10)] + [(1, 8), (2, 8)]
+    fps = spark.createDataFrame(hot, "doc_id long, fp long")
+    with pytest.raises(Exception, match="max_df_hard"):
+        fingerprint_dup_pairs(fps, min_shared=1, max_df_hard=5).collect()
+    # max_df set: oversize group silently dropped, no sentinel
+    rows = {(r.id_a, r.id_b): r.n_shared
+            for r in fingerprint_dup_pairs(
+                fps, min_shared=1, max_df=5).collect()}
+    assert rows == {(1, 2): 1}, rows
+
+
+def test_ngram_repetition_null_text_dropped(spark):
+    """r5 advisor finding, fixed r6: NULL-text docs emit no row (the
+    relational form's explode-of-NULL semantics), instead of a
+    fabricated degenerate one-gram row."""
+    from pycrawler_spark.operators.quality import ngram_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, None)], "doc_id long, text string")
+    rows = {r.doc_id for r in ngram_repetition_stats(docs).collect()}
+    assert rows == {1}, rows
