@@ -109,12 +109,12 @@ def boilerplate_shingle_stats(
        (``shingle(extra_cols=[group_col])``) — no re-join of the
        occurrence table back onto docs;
     2. ``shingle`` already emits DISTINCT shingles per doc
-       (``array_distinct``), so one row per (group, shingle-md5, doc)
+       (``array_distinct``), so one row per (group, shingle-hash, doc)
        holds by construction — the old ``groupBy(...).count()``
        always computed ``_occ = 1`` and was a provably redundant full
        shuffle of the biggest intermediate;
-    3. a count() window over (group, shingle-md5) — THE one
-       occurrence-sized exchange, keyed by 16-byte hashes, never text
+    3. a count() window over (group, shingle-hash) — THE one
+       occurrence-sized exchange, keyed by 8-byte xxhash64 longs, never text
        (partition size bounded by docs-per-group, the same bound a
        countDistinct would have);
     4. aggregate by doc: n_shingles = count(*), n_boiler =
@@ -129,10 +129,18 @@ def boilerplate_shingle_stats(
     # group column with an equi-join on id_col, which silently dropped
     # them — without this filter they would now both count toward _nd
     # (flipping n_boiler for real docs) and emit a NULL-id output row
+    # shingle identity is xxhash64 (8-byte long), not md5 (32-char hex
+    # string): the count() window below shuffles one occurrence-sized
+    # row per (doc, shingle), and the hash is the widest column in it —
+    # the long key cuts those exchange bytes ~60% and hashes cheaper
+    # (r6, measured 0.99 -> 0.92 s noop at sf0.1; rows identical).
+    # Same collision reasoning as quality.ngram_repetition_stats: the
+    # stats only need a consistent injective-enough key (~2^-64 per
+    # shingle pair), not the shingle text.
     per_pair = shingle(
         docs.filter(F.col(id_col).isNotNull()),
         text_col, id_col, k=k, extra_cols=[group_col],
-    ).select(id_col, group_col, F.md5("shingle").alias("sh"))
+    ).select(id_col, group_col, F.xxhash64("shingle").alias("sh"))
     nd = F.count("*").over(Window.partitionBy(group_col, "sh"))
     return (
         per_pair.withColumn("_nd", nd)
